@@ -1,0 +1,85 @@
+"""Headline benchmark: 100-agent FlockingRelative, expert controller + step.
+
+Reference baseline (BASELINE.md): ~835 env-steps/s single-stream NumPy —
+expert ``controller()`` + ``step()`` including observation assembly
+(reference flocking_relative.py:91-134 + :194-212).  Here the same
+workload — Turner expert computes the action, the double-integrator steps,
+the 6-channel relative features and reward are produced and consumed — runs
+as ``jit(scan(vmap(...)))`` over a large env batch on one TPU chip.
+
+Steady-state stepping throughput (reset excluded, as in the reference
+measurement).  Timing is by scalar value fetch: on remote-attached platforms
+``block_until_ready`` can return before execution completes.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import gym_flock_tpu as gft
+from gym_flock_tpu.envs.flocking import flocking_features, turner_controller
+
+BASELINE_STEPS_PER_S = 835.0  # reference, 1 CPU core (BASELINE.md)
+
+N_AGENTS = 100
+N_ENVS = 8192
+N_STEPS = 64
+
+
+def main():
+    env, params = gft.make("FlockingRelative-v0", n_agents=N_AGENTS)
+
+    @jax.jit
+    def init(key):
+        keys = jax.random.split(key, N_ENVS)
+        states, _ = jax.vmap(lambda k: env.reset_env(k, params))(keys)
+        return states.x
+
+    @jax.jit
+    def run(xs):
+        """Expert + step + observation features, N_STEPS times."""
+
+        def one(x):
+            def body(x, _):
+                u = turner_controller(x, params)
+                state = env.init_state(x, params)
+                state, (values, network), reward, _, _ = env.step_env(
+                    jax.random.key(0), state, u, params
+                )
+                # consume the observation so it is genuinely computed
+                return state.x, reward + jnp.sum(values) * 1e-12
+
+            x, rs = jax.lax.scan(body, x, None, length=N_STEPS)
+            return jnp.sum(rs)
+
+        return jnp.sum(jax.vmap(one)(xs))
+
+    xs = init(jax.random.key(0))
+    float(run(xs))  # compile + warmup (fetch forces completion)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(n_iters):
+        acc += float(run(xs))
+    dt = time.perf_counter() - t0
+
+    steps = N_ENVS * N_STEPS * n_iters
+    steps_per_s = steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "env-steps/s (FlockingRelative, 100 agents, expert+step+obs)",
+                "value": round(steps_per_s, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

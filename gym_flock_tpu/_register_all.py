@@ -1,0 +1,71 @@
+"""Populate the registry with the reference-compatible env ids.
+
+Mirrors the reference registrations and their ``max_episode_steps``
+(reference gym_flock/__init__.py:3-112).  Coverage/shepherding/formation ids
+are appended to this table as their families land.
+"""
+from __future__ import annotations
+
+from gym_flock_tpu.core.registry import register
+from gym_flock_tpu.envs.flocking import (
+    FlockingAbsoluteEnv,
+    FlockingLeaderEnv,
+    FlockingObstacleEnv,
+    FlockingParams,
+    FlockingRelativeEnv,
+    FlockingStochasticEnv,
+    FlockingTwoFlocksEnv,
+)
+
+
+def _flocking_factory(cls):
+    def factory(**kwargs):
+        env = cls()
+        params = env.default_params()
+        if kwargs:
+            params = params.replace(**kwargs)
+        return env, params
+
+    return factory
+
+
+# id, class, max_episode_steps — per reference gym_flock/__init__.py
+register("FlockingRelative-v0", _flocking_factory(FlockingRelativeEnv), 1000)
+register("Flocking-v0", _flocking_factory(FlockingAbsoluteEnv), 1000)
+register("FlockingLeader-v0", _flocking_factory(FlockingLeaderEnv), 200)
+register("FlockingObstacle-v0", _flocking_factory(FlockingObstacleEnv), 200)
+register("FlockingStochastic-v0", _flocking_factory(FlockingStochasticEnv), 500)
+register("FlockingTwoFlocks-v0", _flocking_factory(FlockingTwoFlocksEnv), 500)
+
+
+def _register_coverage():
+    from gym_flock_tpu.envs.coverage import coverage_factory
+
+    register("Coverage-v0", coverage_factory("coverage"), 75)
+    register("CoverageARL-v0", coverage_factory("arl"), 100000)
+    register("CoverageARL-v1", coverage_factory("arl"), 100000)
+    register("CoverageFull-v0", coverage_factory("full"), 100000)
+    register("ExploreEnv-v0", coverage_factory("explore"), 100000)
+    register("ExploreEnv-v1", coverage_factory("explore"), 100000)
+    register("ExploreFullEnv-v0", coverage_factory("explore_full"), 100000)
+
+
+def _register_others():
+    from gym_flock_tpu.envs.shepherding import shepherding_factory
+    from gym_flock_tpu.envs.formation import formation_factory
+    from gym_flock_tpu.envs.lqr import lqr_factory
+
+    register("Shepherding-v0", shepherding_factory, 1000)
+    register("FormationFlying-v0", formation_factory, 500)
+    register("LQR-v0", lqr_factory, None)  # unregistered in reference (lqr.py:12)
+
+
+try:
+    _register_coverage()
+except ImportError:
+    pass
+
+try:
+    _register_others()
+except ImportError:
+    pass

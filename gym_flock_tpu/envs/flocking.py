@@ -1,0 +1,561 @@
+"""Flocking environment family — pure-JAX double-integrator swarms.
+
+TPU-native re-design of the reference flocking envs:
+
+* ``FlockingRelativeEnv``  — reference flocking/flocking_relative.py:18-305
+* ``FlockingAbsoluteEnv``  — reference flocking/flocking.py:5-25 (``Flocking-v0``)
+* ``FlockingLeaderEnv``    — reference flocking/flocking_leader.py:5-57
+* ``FlockingObstacleEnv``  — reference flocking/flocking_obstacle.py:13-118
+* ``FlockingStochasticEnv``— reference flocking/flocking_stoch.py:5-45
+* ``FlockingTwoFlocksEnv`` — reference flocking/flocking_twoflocks.py:6-26
+
+Semantics (dynamics, features, rewards, expert controller, and the
+reference's numerical quirks — see notes inline) are preserved; the
+implementation is a fresh design: state is an immutable pytree, every method
+is a pure function of ``(key, state, action, params)``, all shapes static, so
+``jit(vmap(step))`` steps thousands of swarms in lockstep on one chip and
+``shard_map`` spreads the batch across a mesh (``gym_flock_tpu.parallel``).
+
+The O(N^2) ``compute_helpers`` pairwise kernel (reference
+flocking_relative.py:111-134) — >90% of reference step time — is expressed as
+dense masked tensor ops that XLA fuses into a single pass; a blockwise Pallas
+variant for very large N lives in ``gym_flock_tpu.ops.pallas_pairwise``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gym_flock_tpu.core.env import Env, EnvState
+from gym_flock_tpu.core.spaces import Box
+from gym_flock_tpu.ops.pairwise import mean_pool_normalize, radius_adjacency
+
+__all__ = [
+    "FlockingParams",
+    "FlockingState",
+    "FlockingRelativeEnv",
+    "FlockingAbsoluteEnv",
+    "FlockingLeaderEnv",
+    "FlockingObstacleEnv",
+    "FlockingStochasticEnv",
+    "FlockingTwoFlocksEnv",
+    "flocking_features",
+    "turner_controller",
+]
+
+
+# =============================================================================
+# Params / State
+# =============================================================================
+
+
+@struct.dataclass
+class FlockingParams:
+    """Parameters of the flocking family.
+
+    Defaults mirror reference flocking_relative.py:27-64.  Fields marked
+    static participate in trace-time shapes/branches.
+    """
+
+    # --- static (shape- or branch-determining) ---
+    n_agents: int = struct.field(pytree_node=False, default=100)
+    max_steps: int = struct.field(pytree_node=False, default=1000)
+    mean_pooling: bool = struct.field(pytree_node=False, default=True)
+    centralized: bool = struct.field(pytree_node=False, default=True)
+    # rejection-sampling reset: bounded trip count (reference uses an
+    # unbounded while loop, flocking_relative.py:164)
+    max_reset_tries: int = struct.field(pytree_node=False, default=64)
+    # reference params_from_cfg scales r_max by sqrt(n) (flocking_relative.py:75);
+    # without it the default reset never accepts (SURVEY.md §5.9b).
+    auto_scale_r_max: bool = struct.field(pytree_node=False, default=True)
+    # variant statics
+    n_leaders: int = struct.field(pytree_node=False, default=2)
+    n_obstacles: int = struct.field(pytree_node=False, default=4)
+    n_neighbors: int = struct.field(pytree_node=False, default=7)  # absolute-obs k
+
+    # --- dynamic ---
+    comm_radius: float = 0.9
+    dt: float = 0.01
+    v_max: float = 5.0
+    r_max: float = 1.0
+    action_scalar: float = 10.0
+    max_accel: float = 1.0
+    min_dist_thresh: float = 0.1
+    # stochastic-dt variant (reference flocking_stoch.py:9-12)
+    dt_mean: float = 0.12
+    dt_sigma: float = 0.018
+    stoch_scale: float = 6.0
+    stoch_max_accel: float = 0.5
+
+    @property
+    def comm_radius2(self) -> float:
+        return self.comm_radius * self.comm_radius
+
+    @property
+    def v_bias(self) -> float:
+        return self.v_max
+
+    @property
+    def r_max_eff(self) -> float:
+        import numpy as _np
+
+        return self.r_max * float(_np.sqrt(self.n_agents)) if self.auto_scale_r_max else self.r_max
+
+
+@struct.dataclass
+class FlockingState(EnvState):
+    """x: [N, 4] rows (px, py, vx, vy); mean/init vel cached as in reference."""
+
+    x: jax.Array
+    mean_vel: jax.Array  # [2]
+    init_vel: jax.Array  # [N, 2]
+
+
+# =============================================================================
+# Kernels
+# =============================================================================
+
+
+def _pairwise_channels(x: jax.Array, obstacle_mask: jax.Array | None = None):
+    """Channel-separated pairwise diffs: (dx, dy, dvx, dvy, r2), each [N, N].
+
+    TPU layout note: the reference materializes one [N, N, 4] ``diff`` tensor
+    (flocking_relative.py:113).  On TPU a minor dimension of 4 pads to the
+    128-lane tile — a 32x memory blowup that makes the kernel HBM-bound
+    (measured ~160x slower).  Keeping each channel as its own [N, N] array
+    (structure-of-arrays) tiles perfectly and lets XLA fuse the whole
+    feature/expert chain into the reductions.
+    """
+    px, py, vx, vy = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+    dx = px[:, None] - px[None, :]
+    dy = py[:, None] - py[None, :]
+    dvx = vx[:, None] - vx[None, :]
+    dvy = vy[:, None] - vy[None, :]
+    if obstacle_mask is not None:
+        # broken agents don't contribute to velocity differences
+        # (reference flocking_obstacle.py:80-81 zeroes rows AND columns)
+        keep = ~obstacle_mask
+        vel_keep = keep[:, None] & keep[None, :]
+        dvx = jnp.where(vel_keep, dvx, 0.0)
+        dvy = jnp.where(vel_keep, dvy, 0.0)
+    n = x.shape[0]
+    r2 = dx * dx + dy * dy
+    r2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, r2)
+    return dx, dy, dvx, dvy, r2
+
+
+def flocking_features(
+    x: jax.Array,
+    comm_radius2,
+    obstacle_mask: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The ``compute_helpers`` kernel (reference flocking_relative.py:111-134).
+
+    Returns ``(state_values [N,6], adj [N,N], adj_mean [N,N], r2 [N,N])``.
+
+    Feature channels per neighbor pair, summed over neighbors j with
+    ``r2 < comm_radius^2``:
+        0: dvx   1: dx/r^4   2: dx/r^2   3: dvy   4: dy/r^4   5: dy/r^2
+
+    ``obstacle_mask`` (bool [N], True = obstacle) zeroes velocity-difference
+    rows/cols before feature assembly, matching FlockingObstacleEnv
+    (reference flocking_obstacle.py:80-81).
+    """
+    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask)
+    adj = radius_adjacency(r2, comm_radius2)
+    adj_mean = mean_pool_normalize(adj)
+
+    inv = 1.0 / r2
+    inv2 = inv * inv
+    # masked neighbor sums; off-diagonal r2 finite, diagonal Inf -> features 0
+    state_values = jnp.stack(
+        (
+            jnp.sum(dvx * adj, axis=1),
+            jnp.sum(dx * inv2 * adj, axis=1),
+            jnp.sum(dx * inv * adj, axis=1),
+            jnp.sum(dvy * adj, axis=1),
+            jnp.sum(dy * inv2 * adj, axis=1),
+            jnp.sum(dy * inv * adj, axis=1),
+        ),
+        axis=1,
+    )  # [N, 6]
+    return state_values, adj, adj_mean, r2
+
+
+def turner_potential_grad(pos_diff_c: jax.Array, r2: jax.Array, comm_radius) -> jax.Array:
+    """Gradient of the Turner-2003 flocking potential (reference :214-226).
+
+    NOTE the reference quirk kept for parity: the cutoff compares ``r2``
+    (distance *squared*) against ``comm_radius`` (NOT squared) —
+    flocking_relative.py:225.
+    """
+    grad = -2.0 * pos_diff_c / (r2 * r2) + 2.0 * pos_diff_c / r2
+    return jnp.where(r2 > comm_radius, 0.0, grad)
+
+
+def turner_controller(
+    x: jax.Array,
+    params: FlockingParams,
+    centralized: bool | None = None,
+    obstacle_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Turner-2003 potential-field expert (reference flocking_relative.py:194-212).
+
+    control_x = -(sum_j grad_x + sum_j dvx); clip to [-10, 10]; / action_scalar.
+    Decentralized mode masks contributions by the adjacency matrix.
+    """
+    if centralized is None:
+        centralized = params.centralized
+    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask)
+    gx = turner_potential_grad(dx, r2, params.comm_radius)
+    gy = turner_potential_grad(dy, r2, params.comm_radius)
+
+    if not centralized:
+        adj = radius_adjacency(r2, params.comm_radius2)
+        dvx = dvx * adj
+        dvy = dvy * adj
+        gx = gx * adj
+        gy = gy * adj
+
+    s_dvx = jnp.sum(dvx, axis=1)
+    s_dvy = jnp.sum(dvy, axis=1)
+    s_gx = jnp.sum(gx, axis=1)
+    s_gy = jnp.sum(gy, axis=1)
+
+    controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
+    controls = jnp.clip(controls, -10.0, 10.0)
+    return controls / params.action_scalar
+
+
+def _instant_cost(x: jax.Array) -> jax.Array:
+    """-sum of velocity variances (reference flocking_relative.py:145-147)."""
+    v = x[:, 2:4]
+    return -1.0 * jnp.sum(jnp.var(v, axis=0))
+
+
+def _integrate(x: jax.Array, u: jax.Array, dt, mask: jax.Array | None = None) -> jax.Array:
+    """Euler double-integrator update (reference flocking_relative.py:98-105).
+
+    ``mask`` (float [N], 0 = frozen agent) reproduces the leader/obstacle
+    variants where masked agents ignore their control input
+    (flocking_leader.py:27-31, flocking_obstacle.py:41-47).
+    """
+    ux, uy = u[:, 0], u[:, 1]
+    if mask is not None:
+        ux_eff = ux * mask
+        uy_eff = uy * mask
+    else:
+        ux_eff, uy_eff = ux, uy
+    px = x[:, 0] + x[:, 2] * dt + ux_eff * dt * dt * 0.5
+    py = x[:, 1] + x[:, 3] * dt + uy_eff * dt * dt * 0.5
+    vx = x[:, 2] + ux_eff * dt
+    vy = x[:, 3] + uy_eff * dt
+    return jnp.stack((px, py, vx, vy), axis=1)
+
+
+# =============================================================================
+# Envs
+# =============================================================================
+
+
+class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
+    """100-agent 2D double-integrator swarm with relative-feature observations.
+
+    Observation: ``(state_values [N,6], state_network [N,N])`` exactly as the
+    reference returns from ``step``/``reset`` (flocking_relative.py:109, 192).
+    Reward: negative sum of velocity variances.  Never terminates on its own
+    (reference returns done=False); time-limit truncation at
+    ``params.max_steps`` mirrors gym registration (gym_flock/__init__.py:62).
+    """
+
+    def default_params(self) -> FlockingParams:
+        return FlockingParams()
+
+    # ------------------------------------------------------------ helpers
+
+    def _obs(self, state: FlockingState, params: FlockingParams):
+        values, adj, adj_mean, _ = flocking_features(
+            state.x, params.comm_radius2, self._obstacle_mask(params)
+        )
+        network = adj_mean if params.mean_pooling else adj
+        return values, network
+
+    def _obstacle_mask(self, params: FlockingParams):
+        return None
+
+    def _integration_mask(self, params: FlockingParams):
+        return None
+
+    def _action_scale(self, params: FlockingParams):
+        return params.action_scalar
+
+    # ------------------------------------------------------------ protocol
+
+    def reset_env(self, key: jax.Array, params: FlockingParams):
+        """Rejection-sampling reset (reference flocking_relative.py:156-192).
+
+        Redraw until min degree >= 2 and min pairwise distance >
+        ``min_dist_thresh``; bounded at ``params.max_reset_tries`` trips
+        (the reference loops unboundedly — SURVEY.md §5.9b).
+        """
+        n = params.n_agents
+
+        def draw(key):
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            length = jnp.sqrt(
+                jax.random.uniform(k1, (n,), minval=0.0, maxval=params.r_max_eff)
+            )
+            angle = jnp.pi * jax.random.uniform(k2, (n,), minval=0.0, maxval=2.0)
+            bias = jax.random.uniform(
+                k3, (2,), minval=-params.v_bias, maxval=params.v_bias
+            )
+            vx = jax.random.uniform(k4, (n,), minval=-params.v_max, maxval=params.v_max)
+            vy = jax.random.uniform(k5, (n,), minval=-params.v_max, maxval=params.v_max)
+            x = jnp.stack(
+                (
+                    length * jnp.cos(angle),
+                    length * jnp.sin(angle),
+                    vx + bias[0],
+                    vy + bias[1],
+                ),
+                axis=1,
+            )
+            return x
+
+        def accept(x):
+            _, _, _, _, r2 = _pairwise_channels(x)
+            min_dist = jnp.sqrt(jnp.min(r2))
+            degree = jnp.min(jnp.sum(r2 < params.comm_radius2, axis=1))
+            return (degree >= 2) & (min_dist > params.min_dist_thresh)
+
+        def cond(carry):
+            _, _, ok, tries = carry
+            return (~ok) & (tries < params.max_reset_tries)
+
+        def body(carry):
+            key, _, _, tries = carry
+            key, sub = jax.random.split(key)
+            x = draw(sub)
+            return key, x, accept(x), tries + 1
+
+        key0, sub0 = jax.random.split(key)
+        x0 = draw(sub0)
+        _, x, _, _ = jax.lax.while_loop(
+            cond, body, (key0, x0, accept(x0), jnp.int32(1))
+        )
+
+        state = FlockingState(
+            time=jnp.int32(0),
+            x=x,
+            mean_vel=jnp.mean(x[:, 2:4], axis=0),
+            init_vel=x[:, 2:4],
+        )
+        return state, self._obs(state, params)
+
+    def init_state(self, x: jax.Array, params: FlockingParams) -> FlockingState:
+        """Build a state from an externally supplied [N,4] array.
+
+        This is the parity-mode entry point: a host-side NumPy reset
+        emulating the reference's legacy RNG streams feeds device states
+        (SURVEY.md §7 'hard parts' (i))."""
+        x = jnp.asarray(x)
+        return FlockingState(
+            time=jnp.int32(0),
+            x=x,
+            mean_vel=jnp.mean(x[:, 2:4], axis=0),
+            init_vel=x[:, 2:4],
+        )
+
+    def step_env(self, key, state: FlockingState, action, params: FlockingParams):
+        u = action * self._action_scale(params)
+        x = _integrate(state.x, u, params.dt, self._integration_mask(params))
+        new_state = state.replace(x=x, time=state.time + 1)
+        obs = self._obs(new_state, params)
+        reward = _instant_cost(x)
+        done = new_state.time >= params.max_steps
+        return new_state, obs, reward, done, {}
+
+    def controller(self, state: FlockingState, params: FlockingParams, centralized=None):
+        return turner_controller(
+            state.x, params, centralized, self._obstacle_mask(params)
+        )
+
+    def get_stats(self, state: FlockingState) -> Dict[str, jax.Array]:
+        """vel_diffs / min_dists (reference flocking_relative.py:136-143)."""
+        v = state.x[:, 2:4]
+        vel_diffs = jnp.sqrt(jnp.sum((v - jnp.mean(v, axis=0)) ** 2, axis=1))
+        _, _, _, _, r2 = _pairwise_channels(state.x)
+        min_dists = jnp.min(jnp.sqrt(r2), axis=0)
+        return {"vel_diffs": vel_diffs, "min_dists": min_dists}
+
+    # ------------------------------------------------------------ spaces
+
+    def observation_space(self, params: FlockingParams):
+        return Box(-jnp.inf, jnp.inf, (params.n_agents, 6))
+
+    def action_space(self, params: FlockingParams):
+        return Box(-params.max_accel, params.max_accel, (params.n_agents, 2))
+
+
+class FlockingAbsoluteEnv(FlockingRelativeEnv):
+    """``Flocking-v0``: observations are state diffs to the 7 nearest agents.
+
+    Reference flocking/flocking.py:20-25: ``obs[:, i*4:(i+1)*4] =
+    x - x[nearest[:, i]]`` for the i-th nearest neighbor by r^2 (diagonal is
+    Inf so self is excluded).  Python loop over k becomes a top_k gather.
+    """
+
+    def _obs(self, state: FlockingState, params: FlockingParams):
+        x = state.x
+        _, adj, adj_mean, r2 = flocking_features(x, params.comm_radius2)
+        k = params.n_neighbors
+        _, idx = jax.lax.top_k(-r2, k)  # [N, k] nearest by ascending r2
+        rel = x[:, None, :] - x[idx, :]  # [N, k, 4]
+        obs = rel.reshape(params.n_agents, k * 4)
+        network = adj_mean if params.mean_pooling else adj
+        return obs, network
+
+    def observation_space(self, params: FlockingParams):
+        return Box(-jnp.inf, jnp.inf, (params.n_agents, params.n_neighbors * 4))
+
+
+class FlockingLeaderEnv(FlockingRelativeEnv):
+    """``FlockingLeader-v0``: first ``n_leaders`` agents ignore control input.
+
+    Reference flocking_leader.py:21-40.  Parity quirks preserved: the leader
+    variant does NOT scale actions by ``action_scalar`` (:24 assigns
+    ``self.u = u``), and at reset all leaders share one uniform random
+    velocity in both components (:38-39 draws size=(1,1) and broadcasts).
+    """
+
+    def _integration_mask(self, params: FlockingParams):
+        n = params.n_agents
+        return (jnp.arange(n) >= params.n_leaders).astype(jnp.float32)
+
+    def _action_scale(self, params: FlockingParams):
+        return 1.0
+
+    def reset_env(self, key, params):
+        key, sub = jax.random.split(key)
+        state, _ = super().reset_env(key, params)
+        lead_v = jax.random.uniform(
+            sub, (1, 1), minval=-params.v_max, maxval=params.v_max
+        )
+        x = state.x.at[0 : params.n_leaders, 2:4].set(
+            jnp.ones((params.n_leaders, 2)) * lead_v
+        )
+        state = state.replace(x=x)
+        return state, self._obs(state, params)
+
+    def default_params(self) -> FlockingParams:
+        return FlockingParams(max_steps=200)
+
+
+def _grid_formation(n: int, side: int = 5, dtype=None) -> jax.Array:
+    """0.8-spaced centered grid (reference flocking/utils.py:23-30)."""
+    import numpy as np
+
+    side2 = int(n / side)
+    xs = np.arange(0, side) - side / 2.0
+    ys = np.arange(0, side2) - side2 / 2.0
+    xs, ys = np.meshgrid(xs, ys)
+    out = 0.8 * np.stack((xs.reshape(n), ys.reshape(n)), axis=1)
+    return jnp.asarray(out, dtype=dtype or jnp.zeros(0).dtype)
+
+
+class FlockingObstacleEnv(FlockingRelativeEnv):
+    """``FlockingObstacle-v0``: first ``n_obstacles`` agents are frozen blocks.
+
+    Reference flocking_obstacle.py:13-104.  Deterministic reset: swarm on a
+    0.8-grid moving at (0, -7); obstacles on a half-scale 2-wide grid shifted
+    down 10 units, zero velocity (:58-73).  Obstacle velocity rows/cols are
+    zeroed in the pairwise diff before features (:80-81).  Actions are NOT
+    scaled by action_scalar (:38).  ``r_max`` is 3.0 (:22) — render-only.
+    """
+
+    def _obstacle_mask(self, params: FlockingParams):
+        return jnp.arange(params.n_agents) < params.n_obstacles
+
+    def _integration_mask(self, params: FlockingParams):
+        return (jnp.arange(params.n_agents) >= params.n_obstacles).astype(jnp.float32)
+
+    def _action_scale(self, params: FlockingParams):
+        return 1.0
+
+    def reset_env(self, key, params):
+        n, n_obs = params.n_agents, params.n_obstacles
+        pos = _grid_formation(n)
+        x = jnp.concatenate(
+            (pos, jnp.tile(jnp.asarray([[0.0, -7.0]]), (n, 1))), axis=1
+        )
+        obs_pos = _grid_formation(n_obs, side=2) * 0.5
+        obs_pos = obs_pos.at[:, 1].add(-10.0)
+        x = x.at[:n_obs, 0:2].set(obs_pos)
+        x = x.at[:n_obs, 2:4].set(0.0)
+
+        state = FlockingState(
+            time=jnp.int32(0),
+            x=x,
+            mean_vel=jnp.mean(x[n_obs:, 2:4], axis=0),
+            init_vel=x[n_obs:, 2:4],
+        )
+        return state, self._obs(state, params)
+
+    def default_params(self) -> FlockingParams:
+        return FlockingParams(max_steps=200, r_max=3.0, auto_scale_r_max=False)
+
+
+class FlockingStochasticEnv(FlockingRelativeEnv):
+    """``FlockingStochastic-v0``: random dt ~ N(0.12, 0.018) per step.
+
+    Reference flocking_stoch.py:14-45: clip u to +-0.5, scale state and
+    control by 6 before integrating, unscale after; the expert clips its
+    output to +-max_accel.
+    """
+
+    def step_env(self, key, state: FlockingState, action, params: FlockingParams):
+        u = jnp.clip(action, -params.stoch_max_accel, params.stoch_max_accel)
+        u = u * params.stoch_scale
+        x = state.x * params.stoch_scale
+        dt = params.dt_mean + params.dt_sigma * jax.random.normal(key, ())
+        x = _integrate(x, u, dt)
+        x = x / params.stoch_scale
+        new_state = state.replace(x=x, time=state.time + 1)
+        obs = self._obs(new_state, params)
+        return new_state, obs, _instant_cost(x), new_state.time >= params.max_steps, {}
+
+    def controller(self, state, params, centralized=None):
+        u = turner_controller(state.x, params, centralized)
+        return jnp.clip(u, -params.stoch_max_accel, params.stoch_max_accel)
+
+    def default_params(self) -> FlockingParams:
+        return FlockingParams(max_steps=500)
+
+
+class FlockingTwoFlocksEnv(FlockingRelativeEnv):
+    """``FlockingTwoFlocks-v0``: reset to a grid with inward velocities.
+
+    Reference flocking_twoflocks.py:8-26: x = grid(n, side=n/10),
+    v = -grid + bias with bias ~ U(-v_bias/2, v_bias/2)^2.
+    """
+
+    def reset_env(self, key, params):
+        n = params.n_agents
+        bias = jax.random.uniform(
+            key, (2,), minval=-params.v_bias / 2.0, maxval=params.v_bias / 2.0
+        )
+        grids = _grid_formation(n, side=int(n / 10))
+        x = jnp.concatenate((grids, -grids + bias[None, :]), axis=1)
+        state = FlockingState(
+            time=jnp.int32(0),
+            x=x,
+            mean_vel=jnp.mean(x[:, 2:4], axis=0),
+            init_vel=x[:, 2:4],
+        )
+        return state, self._obs(state, params)
+
+    def default_params(self) -> FlockingParams:
+        return FlockingParams(max_steps=500)

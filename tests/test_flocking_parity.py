@@ -1,0 +1,215 @@
+"""Golden-trajectory parity: flocking family vs the reference NumPy envs.
+
+Strategy (SURVEY.md §4): inject identical initial states into both
+implementations, drive both with the same action sequence (and with each
+one's own expert), and require trajectories / observations / rewards to match
+to float64 precision.  This sidesteps legacy-RNG emulation while proving the
+dynamics, feature, and expert kernels are exact.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+import gym_flock_tpu as gft
+from gym_flock_tpu.envs.flocking import FlockingParams
+
+from tests.reference_oracle import reference_available, make_reference_env
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available"
+)
+
+ATOL = 1e-9
+
+
+def _inject(ref_env, x0):
+    """Place state x0 into a reference env (mirrors its reset bookkeeping)."""
+    ref_env.x = x0.copy()
+    ref_env.mean_vel = np.mean(x0[:, 2:4], axis=0)
+    ref_env.init_vel = x0[:, 2:4]
+    ref_env.compute_helpers()
+
+
+def _random_x0(rng, n, spread=3.0, vmax=2.0):
+    x = np.zeros((n, 4))
+    x[:, 0:2] = rng.uniform(-spread, spread, size=(n, 2))
+    x[:, 2:4] = rng.uniform(-vmax, vmax, size=(n, 2))
+    return x
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_relative_step_and_features_parity(seed):
+    rng = np.random.RandomState(seed)
+    n = 50
+    x0 = _random_x0(rng, n)
+
+    ref = make_reference_env("FlockingRelative-v0")
+    ref.n_agents = n
+    _inject(ref, x0)
+
+    env, params = gft.make("FlockingRelative-v0", )
+    params = params.replace(n_agents=n)
+    state = env.init_state(jnp.asarray(x0), params)
+
+    step = jax.jit(env.step_env)
+    key = jax.random.key(0)
+
+    for t in range(20):
+        u = rng.uniform(-1, 1, size=(n, 2))
+        (ref_obs, ref_net), ref_rew, _, _ = ref.step(u.copy())
+        state, (obs, net), rew, done, _ = step(key, state, jnp.asarray(u), params)
+        np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=ATOL)
+        np.testing.assert_allclose(np.asarray(obs), ref_obs, atol=ATOL)
+        np.testing.assert_allclose(np.asarray(net), ref_net, atol=ATOL)
+        np.testing.assert_allclose(float(rew), ref_rew, atol=ATOL)
+
+
+@pytest.mark.parametrize("centralized", [True, False])
+def test_turner_controller_parity(centralized):
+    rng = np.random.RandomState(2)
+    n = 40
+    x0 = _random_x0(rng, n, spread=1.5)
+
+    ref = make_reference_env("FlockingRelative-v0")
+    ref.n_agents = n
+    _inject(ref, x0)
+    ref_u = ref.controller(centralized=centralized)
+
+    env, params = gft.make("FlockingRelative-v0")
+    params = params.replace(n_agents=n)
+    state = env.init_state(jnp.asarray(x0), params)
+    u = env.controller(state, params, centralized=centralized)
+    np.testing.assert_allclose(np.asarray(u), ref_u, atol=ATOL)
+
+
+def test_expert_rollout_parity():
+    """Full closed-loop: expert drives both; trajectories must match."""
+    rng = np.random.RandomState(3)
+    n = 30
+    x0 = _random_x0(rng, n, spread=1.5)
+
+    ref = make_reference_env("FlockingRelative-v0")
+    ref.n_agents = n
+    _inject(ref, x0)
+
+    env, params = gft.make("FlockingRelative-v0")
+    params = params.replace(n_agents=n)
+    state = env.init_state(jnp.asarray(x0), params)
+    step = jax.jit(env.step_env)
+    expert = jax.jit(env.expert)
+    key = jax.random.key(0)
+
+    for t in range(50):
+        ref_u = ref.controller()
+        u = expert(state, params)
+        np.testing.assert_allclose(np.asarray(u), ref_u, atol=ATOL, err_msg=f"t={t}")
+        ref.step(ref_u)
+        state, _, _, _, _ = step(key, state, u, params)
+        np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=ATOL, err_msg=f"t={t}")
+
+
+def test_absolute_obs_parity():
+    rng = np.random.RandomState(4)
+    n = 30
+    x0 = _random_x0(rng, n)
+
+    ref = make_reference_env("Flocking-v0")
+    ref.n_agents = n
+    _inject(ref, x0)
+    ref_obs = ref.get_observation()
+
+    env, params = gft.make("Flocking-v0")
+    params = params.replace(n_agents=n)
+    state = env.init_state(jnp.asarray(x0), params)
+    obs, _ = jax.jit(env._obs)(state, params)
+    np.testing.assert_allclose(np.asarray(obs), ref_obs, atol=ATOL)
+
+
+def test_leader_step_parity():
+    rng = np.random.RandomState(5)
+    n = 50
+    x0 = _random_x0(rng, n)
+
+    ref = make_reference_env("FlockingLeader-v0")
+    ref.n_agents = n
+    ref.mask = np.ones((n,))
+    ref.mask[:2] = 0
+    _inject(ref, x0)
+
+    env, params = gft.make("FlockingLeader-v0")
+    params = params.replace(n_agents=n)
+    state = env.init_state(jnp.asarray(x0), params)
+    step = jax.jit(env.step_env)
+    key = jax.random.key(0)
+
+    for t in range(10):
+        u = rng.uniform(-1, 1, size=(n, 2))
+        ref.step(u.copy())
+        state, _, _, _, _ = step(key, state, jnp.asarray(u), params)
+        np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=ATOL)
+    # leaders must have constant velocity
+    np.testing.assert_allclose(np.asarray(state.x[:2, 2:4]), x0[:2, 2:4], atol=ATOL)
+
+
+def test_obstacle_reset_and_step_parity():
+    ref = make_reference_env("FlockingObstacle-v0")
+    (ref_obs, ref_net) = ref.reset()
+
+    env, params = gft.make("FlockingObstacle-v0")
+    state, (obs, net) = env.reset_env(jax.random.key(0), params)
+    np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(obs), ref_obs, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(net), ref_net, atol=ATOL)
+
+    rng = np.random.RandomState(6)
+    step = jax.jit(env.step_env)
+    key = jax.random.key(0)
+    for t in range(10):
+        u = rng.uniform(-1, 1, size=(100, 2))
+        (ref_obs, ref_net), ref_rew, _, _ = ref.step(u.copy())
+        state, (obs, net), rew, _, _ = step(key, state, jnp.asarray(u), params)
+        np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=ATOL)
+        np.testing.assert_allclose(np.asarray(obs), ref_obs, atol=ATOL)
+        np.testing.assert_allclose(float(rew), ref_rew, atol=ATOL)
+    # expert parity on obstacle env (zeroed velocity diffs)
+    ref_u = ref.controller()
+    u = env.controller(state, params)
+    np.testing.assert_allclose(np.asarray(u), ref_u, atol=ATOL)
+
+
+def test_twoflocks_reset_shape_and_velocity_structure():
+    env, params = gft.make("FlockingTwoFlocks-v0")
+    state, _ = env.reset_env(jax.random.key(0), params)
+    x = np.asarray(state.x)
+    # v = -pos + bias => v + pos is constant across agents
+    s = x[:, 2:4] + x[:, 0:2]
+    np.testing.assert_allclose(s, np.tile(s[0], (100, 1)), atol=1e-6)
+
+
+def test_stochastic_step_matches_reference_given_same_dt():
+    rng = np.random.RandomState(7)
+    n = 30
+    x0 = _random_x0(rng, n)
+
+    ref = make_reference_env("FlockingStochastic-v0")
+    ref.n_agents = n
+    _inject(ref, x0)
+
+    env, params = gft.make("FlockingStochastic-v0")
+    params = params.replace(n_agents=n)
+    state = env.init_state(jnp.asarray(x0), params)
+
+    # drive the reference, then force our dt distribution to produce the
+    # same dt by zeroing sigma and setting mean to the realized value
+    u = rng.uniform(-1, 1, size=(n, 2))
+    np.random.seed(123)
+    ref.step(u.copy())
+    realized_dt = ref.dt
+    p2 = params.replace(dt_mean=float(realized_dt), dt_sigma=0.0)
+    state, _, _, _, _ = env.step_env(jax.random.key(0), state, jnp.asarray(u), p2)
+    np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=ATOL)
