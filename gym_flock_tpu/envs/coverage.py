@@ -1,0 +1,527 @@
+"""Coverage / exploration graph-MDP engine — pure-JAX, static shapes.
+
+TPU-native re-design of the reference spatial family:
+
+* ``CoverageEnv``      — reference gym_flock/envs/spatial/coverage.py:82-872
+* ``CoverageARLEnv``   — reference coverage_arl.py:15-83 (occupancy maps)
+* ``CoverageFullEnv``  — reference coverage_full.py:8-17
+* ``ExploreEnv``       — reference coverage_explore.py:4-10 (hide_nodes)
+* ``ExploreFullEnv``   — reference coverage_explore_full.py:7-17
+
+N robots walk on a road-lattice graph choosing one of ``N_ACTIONS=4`` padded
+motion edges per step; reward is newly-visited targets.  The reference's
+padded-buffer observation (MAX_NODES/MAX_EDGES, coverage.py:54-56) is already
+a TPU-shaped design and is kept; everything *around* it is re-architected:
+
+* maps/graphs are preprocessed host-side into a :class:`GraphBank`
+  (``gym_flock_tpu.envs.coverage_graph``) — per-node neighbor tables replace
+  the reference's per-robot ``np.where`` scans over flat edge lists
+  (coverage.py:206-232), making action-edge assembly a pure gather;
+* the order-dependent two-pass collision resolution (coverage.py:186-201)
+  is a ``lax.scan`` over the robot axis, preserving the reference's
+  lower-index-wins semantics exactly;
+* all-pairs hop costs / predecessors are precomputed per graph (exact
+  emulation of coverage.py:621-653 on host), so the greedy expert
+  (coverage.py:800-826) is pure gathers + masked argmin on device;
+* per-episode map regeneration becomes sampling a graph index from the bank.
+
+Observation dict matches the reference's keys and padding conventions
+(coverage.py:353-354): ``nodes [max_nodes, n_node_feat]``,
+``edges [max_edges, n_edge_feat]``, ``senders``/``receivers [max_edges]``
+(-1 = unused), ``step [1, 1]``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gym_flock_tpu.core.env import Env, EnvState
+from gym_flock_tpu.core.spaces import Box, DictSpace, MultiDiscrete
+
+__all__ = [
+    "CoverageParams",
+    "CoverageState",
+    "CoverageEnv",
+    "default_coverage_bank",
+    "coverage_factory",
+]
+
+MAX_COST = 1000.0
+DELTA = 5.5
+
+
+@struct.dataclass
+class CoverageParams:
+    """Static configuration + the graph bank (dynamic pytree leaves).
+
+    Defaults mirror reference coverage.py:34-85.
+    """
+
+    # --- static ---
+    n_robots: int = struct.field(pytree_node=False, default=6)
+    max_nodes: int = struct.field(pytree_node=False, default=500)
+    n_actions: int = struct.field(pytree_node=False, default=4)
+    n_node_feat: int = struct.field(pytree_node=False, default=3)
+    episode_length: int = struct.field(pytree_node=False, default=75)
+    max_steps: int = struct.field(pytree_node=False, default=75)
+    hide_nodes: bool = struct.field(pytree_node=False, default=False)
+    collision_checks: bool = struct.field(pytree_node=False, default=True)
+    revisit_nodes: bool = struct.field(pytree_node=False, default=False)
+    nearby_starts: bool = struct.field(pytree_node=False, default=True)
+    nearby_density: int = struct.field(pytree_node=False, default=5)
+    # --- dynamic ---
+    frac_active_targets: float = 0.5
+    res: float = DELTA
+    discover_radius: float = 4.0 * DELTA  # coverage.py:335
+    # graph bank: dict of stacked arrays (see coverage_graph.build_graph_bank)
+    bank: Any = None
+
+    @property
+    def max_targets(self) -> int:
+        return self.max_nodes - self.n_robots
+
+    @property
+    def max_edges(self) -> int:
+        return self.max_nodes * self.n_actions
+
+    @property
+    def n_action_edges(self) -> int:
+        # bidirectional action edges written at the buffer tail each step
+        return 2 * self.n_actions * self.n_robots
+
+
+@struct.dataclass
+class CoverageState(EnvState):
+    graph: jax.Array  # int32 bank index
+    robot_loc: jax.Array  # [R] int32 target index of each robot
+    visited: jax.Array  # [max_targets] float32 (1 = visited)
+    discovered: jax.Array  # [max_targets] float32 (hide_nodes mode)
+    episode_reward: jax.Array  # float32 accumulator (render/metrics parity)
+
+
+def _safe_gather(vec: jax.Array, idx: jax.Array, fill=0.0) -> jax.Array:
+    """vec[idx] with idx == -1 mapping to ``fill`` (NumPy would wrap)."""
+    safe = jnp.clip(idx, 0, vec.shape[0] - 1)
+    return jnp.where(idx >= 0, vec[safe], jnp.asarray(fill, vec.dtype))
+
+
+class CoverageEnv(Env[CoverageParams, CoverageState]):
+    """Graph-coverage MDP over a pre-built graph bank."""
+
+    def default_params(self) -> CoverageParams:
+        return CoverageParams(bank=default_coverage_bank())
+
+    # ------------------------------------------------------------------ reset
+
+    def reset_env(self, key: jax.Array, params: CoverageParams):
+        R, T = params.n_robots, params.max_targets
+        bank_size = params.bank["n_targets"].shape[0]
+        k_graph, k_center, k_robots, k_unvis = jax.random.split(key, 4)
+
+        g = jax.random.randint(k_graph, (), 0, bank_size, dtype=jnp.int32)
+        n_targets = params.bank["n_targets"][g]
+        mask = params.bank["target_mask"][g]
+
+        # start region: full BFS levels around a random center until
+        # >= n_robots * nearby_density nodes (reference get_n_nearest,
+        # coverage.py:655-673, via the precomputed hop-cost matrix)
+        if params.nearby_starts:
+            center = jax.random.randint(k_center, (), 0, n_targets)
+            d = params.bank["graph_cost"][g, center]  # [T]
+            d = jnp.where(mask, d, jnp.inf)
+            want = jnp.minimum(R * params.nearby_density, n_targets)
+            d_sorted = jnp.sort(d)
+            level = d_sorted[want - 1]
+            start_region = (d <= level) & mask
+        else:
+            start_region = mask
+
+        p = start_region.astype(jnp.float32)
+        robot_loc = jax.random.choice(
+            k_robots, T, shape=(R,), replace=False, p=p / jnp.sum(p)
+        ).astype(jnp.int32)
+
+        # random FRAC_ACTIVE unvisited targets (coverage.py:410-417)
+        k_active = jnp.floor(n_targets * params.frac_active_targets).astype(jnp.int32)
+        scores = jnp.where(
+            mask, jax.random.uniform(k_unvis, (T,)), jnp.inf
+        )
+        rank = jnp.argsort(jnp.argsort(scores))  # rank of each target
+        visited = jnp.where(rank < k_active, 0.0, 1.0)
+
+        discovered = jnp.zeros((T,), dtype=jnp.float32)
+
+        state = CoverageState(
+            time=jnp.int32(0),
+            graph=g,
+            robot_loc=robot_loc,
+            visited=visited,
+            discovered=discovered,
+            episode_reward=jnp.float32(0.0),
+        )
+        obs, _, _, state = self._obs_reward(state, params)
+        return state, obs
+
+    # ------------------------------------------------------------------- step
+
+    def step_env(self, key, state: CoverageState, action, params: CoverageParams):
+        R = params.n_robots
+        g = state.graph
+        action = jnp.asarray(action).reshape((R,)).astype(jnp.int32)
+
+        nbr = params.bank["neighbor_table"][g]  # [T, A] target idx
+        cur = state.robot_loc  # [R]
+        chosen = nbr[cur, action]  # [R] target idx
+
+        # two-pass conflict resolution (reference coverage.py:186-201):
+        # pass 1 — robots staying in place claim their node first
+        next_locs = jnp.where(chosen == cur, chosen, -1)
+
+        # pass 2 — in robot-index order, move unless the node is claimed
+        def resolve(next_locs, i):
+            def unresolved(nl):
+                tgt = chosen[i]
+                if params.collision_checks:
+                    taken = jnp.any(nl == tgt)
+                else:
+                    taken = jnp.asarray(False)
+                return nl.at[i].set(jnp.where(taken, cur[i], tgt))
+
+            next_locs = jax.lax.cond(
+                next_locs[i] == -1, unresolved, lambda nl: nl, next_locs
+            )
+            return next_locs, None
+
+        next_locs, _ = jax.lax.scan(resolve, next_locs, jnp.arange(R))
+
+        state = state.replace(robot_loc=next_locs.astype(jnp.int32))
+        key, k_obs = jax.random.split(key)
+        obs, reward, done, state = self._obs_reward(state, params, key=k_obs)
+        return state, obs, reward, done, {}
+
+    # ----------------------------------------------------------- obs / reward
+
+    def _obs_reward(
+        self, state: CoverageState, params: CoverageParams, key=None
+    ):
+        """Observation graph + reward (reference _get_obs_reward,
+        coverage.py:234-364)."""
+        R, T, A = params.n_robots, params.max_targets, params.n_actions
+        E = params.max_edges
+        nA = params.n_action_edges
+        g = state.graph
+        mask = params.bank["target_mask"][g]
+        n_targets = params.bank["n_targets"][g]
+        cur = state.robot_loc
+
+        visited = state.visited
+        if params.revisit_nodes and key is not None:
+            # REVISIT_NODES: each visited landmark reverts w.p. 0.005
+            # (coverage.py:246-247)
+            flip = jax.random.bernoulli(key, 0.005, (T,))
+            visited = jnp.where(flip & mask, 0.0, visited)
+
+        # ---- action edges (reference get_action_edges, coverage.py:206-232)
+        nbr = params.bank["neighbor_table"][g][cur]  # [R, A] target idx
+        nbr_dist = params.bank["neighbor_dist"][g][cur]  # [R, A]
+        robots = jnp.repeat(jnp.arange(R, dtype=jnp.int32), A)  # [R*A] global
+        nodes_g = (nbr + R).reshape((R * A,))  # global indices
+        dist = nbr_dist.reshape((R * A,))
+
+        # bidirectional doubling (coverage.py:259-261), then the buffer-tail
+        # write uses senders=action_edges[1], receivers=action_edges[0]
+        # (coverage.py:282-283)
+        tail_senders = jnp.concatenate([nodes_g, robots])  # [nA]
+        tail_receivers = jnp.concatenate([robots, nodes_g])
+        tail_edges = jnp.concatenate([dist, dist]) / params.res  # (:292)
+
+        # ---- visited update + reward (coverage.py:265-266, 357-359)
+        old_sum = jnp.sum(visited * mask)
+        visited = visited.at[cur].set(1.0)
+        new_sum = jnp.sum(visited * mask)
+        reward = new_sum - old_sum
+
+        # ---- buffers
+        senders = params.bank["motion_senders"][g]  # [E - nA], -1 padded
+        receivers = params.bank["motion_receivers"][g]
+        motion_dists = params.bank["motion_dists"][g]
+        # motion-edge features are raw distances (coverage.py:592 does NOT
+        # normalize by res, unlike action edges — parity quirk)
+        senders = jnp.concatenate([senders, tail_senders])  # [E]
+        receivers = jnp.concatenate([receivers, tail_receivers])
+        edge_feat = jnp.concatenate([motion_dists, tail_edges]).reshape((E, 1))
+
+        # ---- node features (coverage.py:319-329)
+        robot_flag = jnp.concatenate(
+            [jnp.ones((R,)), jnp.zeros((T,))]
+        )
+        landmark_flag = jnp.concatenate([jnp.zeros((R,)), mask.astype(jnp.float32)])
+        notvisited = jnp.concatenate(
+            [jnp.zeros((R,)), (1.0 - visited) * mask]
+        )
+        cols = [robot_flag, landmark_flag, notvisited]
+        if params.n_node_feat >= 4:
+            cols.append(jnp.zeros((R + T,)))
+        nodes = jnp.stack(cols[: params.n_node_feat], axis=1)  # [max_nodes, nf]
+
+        discovered = state.discovered
+        out_senders = senders
+        if params.hide_nodes:
+            # ---- discovery + frontier (coverage.py:334-346)
+            target_pos = params.bank["target_pos"][g]
+            robot_pos = target_pos[cur]
+            all_pos = jnp.concatenate([robot_pos, target_pos], axis=0)
+            from gym_flock_tpu.ops.pairwise import nodes_within_radius
+
+            seen = nodes_within_radius(params.discover_radius, robot_pos, all_pos)
+            seen_targets = seen[R:] & mask
+            discovered = jnp.maximum(
+                discovered, seen_targets.astype(jnp.float32)
+            )
+            disc_all = jnp.concatenate(
+                [jnp.ones((R,)), discovered]
+            )  # robots always discovered
+            nodes = nodes * disc_all[:, None]
+
+            d_send = _safe_gather(disc_all, senders, fill=0.0)
+            d_recv = _safe_gather(disc_all, receivers, fill=0.0)
+            frontier_mask = (1.0 - d_send) * d_recv > 0.0  # [E]
+            frontier_nodes = jnp.zeros((R + T,))
+            frontier_nodes = frontier_nodes.at[
+                jnp.clip(receivers, 0, R + T - 1)
+            ].max(frontier_mask.astype(jnp.float32))
+            if params.n_node_feat >= 4:
+                nodes = nodes.at[:, 3].set(
+                    jnp.maximum(nodes[:, 3], frontier_nodes)
+                )
+
+            seen_edges = d_send * d_recv
+            seen_edges = seen_edges.at[E - nA :].set(1.0)  # coverage.py:343
+            out_senders = jnp.where(seen_edges > 0, senders, -1)
+
+        # ---- step counter & done (coverage.py:351-357): the obs carries the
+        # pre-increment counter; reset's internal _get_obs_reward call means
+        # post-reset time is already 1
+        step_array = state.time.astype(jnp.float32).reshape((1, 1))
+        time = state.time + 1
+        done = (time == params.episode_length) | (new_sum >= n_targets)
+
+        obs = {
+            "nodes": nodes.astype(jnp.float32),
+            "edges": edge_feat.astype(jnp.float32),
+            "senders": out_senders.astype(jnp.int32),
+            "receivers": receivers.astype(jnp.int32),
+            "step": step_array,
+        }
+        state = state.replace(
+            time=time,
+            visited=visited,
+            discovered=discovered,
+            episode_reward=state.episode_reward + reward,
+        )
+        return obs, reward, done, state
+
+    # ------------------------------------------------------------- controller
+
+    def controller(
+        self,
+        state: CoverageState,
+        params: CoverageParams,
+        key: Optional[jax.Array] = None,
+        greedy: bool = True,
+    ):
+        """Greedy nearest-unvisited expert (reference coverage.py:800-826,
+        859-871): pick the closest unvisited target by hop cost, then step
+        toward it along the precomputed predecessor matrix.  Unreachable ->
+        uniform-random action (requires ``key``; defaults to a fixed key).
+
+        The VRP expert (reference vrp_solver.py) is host-side — see
+        ``gym_flock_tpu.experts.vrp``.
+        """
+        R, T = params.n_robots, params.max_targets
+        g = state.graph
+        if key is None:
+            key = jax.random.key(0)
+        mask = params.bank["target_mask"][g]
+        cost = params.bank["graph_cost"][g]  # [T, T]
+        prev = params.bank["graph_prev"][g]
+        cur = state.robot_loc
+
+        r = cost[cur]  # [R, T]
+        blocked = (state.visited >= 1.0) | ~mask
+        if params.hide_nodes:
+            blocked = blocked | (state.discovered <= 0.0)
+        r = jnp.where(blocked[None, :], MAX_COST, r)
+        greedy_loc = jnp.argmin(r, axis=1)  # [R] target idx
+        unreachable = r[jnp.arange(R), greedy_loc] >= MAX_COST
+
+        next_step = prev[greedy_loc, cur]  # [R] predecessor toward goal
+        bad = unreachable | (next_step == -1)
+
+        # map next_step to the action index in the robot's neighbor row
+        nbr = params.bank["neighbor_table"][g][cur]  # [R, A]
+        match = nbr == next_step[:, None]
+        u = jnp.argmax(match, axis=1).astype(jnp.int32)
+
+        rand_u = jax.random.randint(key, (R,), 0, params.n_actions, dtype=jnp.int32)
+        u = jnp.where(bad, rand_u, u)
+        return u.reshape((R, 1))
+
+    # ---------------------------------------------------------------- spaces
+
+    def observation_space(self, params: CoverageParams):
+        E = params.max_edges
+        return DictSpace(
+            {
+                "nodes": Box(-jnp.inf, jnp.inf, (params.max_nodes, params.n_node_feat)),
+                "edges": Box(-jnp.inf, jnp.inf, (E, 1)),
+                "senders": Box(-1, params.max_nodes, (E,), jnp.int32),
+                "receivers": Box(-1, params.max_nodes, (E,), jnp.int32),
+                "step": Box(0, params.episode_length, (1, 1)),
+            }
+        )
+
+    def action_space(self, params: CoverageParams):
+        return MultiDiscrete((params.n_actions,) * params.n_robots)
+
+
+# =============================================================================
+# Banks & factories
+# =============================================================================
+
+_bank_cache: Dict[tuple, Any] = {}
+
+
+def default_coverage_bank(
+    n_graphs: int = 8,
+    n_robots: int = 6,
+    max_nodes: int = 500,
+    horizon: int = 10,
+    seed: int = 0,
+    kind: str = "coverage",
+    **map_kwargs,
+):
+    """Build (and cache) a bank of coverage graphs.
+
+    ``kind='coverage'`` draws Coverage-v0-style road-lattice maps
+    (regenerated per episode in the reference); ``kind='occupancy'`` draws
+    sub-windows of an occupancy map (CoverageARL-style, coverage_arl.py:64-82).
+    Oversized maps (> max_targets) are redrawn — the reference instead
+    crashes on ~2/3 of seeds (SURVEY.md §5.9c).
+    """
+    cache_key = (n_graphs, n_robots, max_nodes, horizon, seed, kind, tuple(sorted(map_kwargs.items())))
+    if cache_key in _bank_cache:
+        return _bank_cache[cache_key]
+
+    from gym_flock_tpu.envs.coverage_graph import (
+        build_graph_bank,
+        build_graph_spec,
+        generate_coverage_targets,
+        targets_from_occupancy,
+    )
+
+    rng = np.random.RandomState(seed)
+    max_targets = max_nodes - n_robots
+    res = map_kwargs.pop("res", DELTA if kind == "coverage" else 5.0)
+    motion_radius = res * 1.2
+    min_graph_size = map_kwargs.pop("min_graph_size", 200 if kind == "occupancy" else 2)
+
+    specs = []
+    if kind == "occupancy":
+        all_targets = targets_from_occupancy(rng=rng, **map_kwargs)
+        min_xy = all_targets.min(axis=0)
+        max_xy = all_targets.max(axis=0)
+        sub = (max_xy - min_xy) / 3.0  # num_subgraphs=3 (coverage_arl.py:18)
+        from gym_flock_tpu.envs.coverage_graph import _largest_component
+
+        while len(specs) < n_graphs:
+            start = rng.uniform(low=min_xy, high=max_xy - sub)
+            end = start + sub
+            sel = np.all((all_targets >= start) & (all_targets < end), axis=1)
+            targets = all_targets[sel]
+            if targets.shape[0] < min_graph_size:
+                continue
+            targets = _largest_component(targets, motion_radius)
+            if not (min_graph_size <= targets.shape[0] <= max_targets):
+                continue
+            specs.append(
+                build_graph_spec(targets, max_targets, n_robots, motion_radius, horizon)
+            )
+    else:
+        while len(specs) < n_graphs:
+            targets = generate_coverage_targets(rng, res=res, **map_kwargs)
+            if not (min_graph_size <= targets.shape[0] <= max_targets):
+                continue
+            specs.append(
+                build_graph_spec(targets, max_targets, n_robots, motion_radius, horizon)
+            )
+
+    bank = build_graph_bank(specs)
+    _bank_cache[cache_key] = bank
+    return bank
+
+
+def coverage_factory(variant: str):
+    """Factory for registry entries.  Variants mirror the reference configs:
+
+    * coverage      — Coverage-v0 (coverage.py:82-85)
+    * arl           — CoverageARL-v0/-v1 (coverage_arl.py:17-19)
+    * full          — CoverageFull-v0 (coverage_full.py:14-17)
+    * explore       — ExploreEnv-v0/-v1 (coverage_explore.py:10)
+    * explore_full  — ExploreFullEnv-v0 (coverage_explore_full.py:13-17)
+    """
+
+    def factory(n_graphs: int = 8, bank_seed: int = 0, **kwargs):
+        env = CoverageEnv()
+        if variant == "coverage":
+            cfg = dict(
+                n_robots=6, max_nodes=500, episode_length=75, max_steps=75,
+                n_node_feat=3, hide_nodes=False, res=DELTA,
+            )
+            bank_kind, horizon = "coverage", 10
+        elif variant == "arl":
+            cfg = dict(
+                n_robots=4, max_nodes=1000, episode_length=50, max_steps=100000,
+                n_node_feat=3, hide_nodes=False, res=5.0,
+            )
+            bank_kind, horizon = "occupancy", -1
+        elif variant == "full":
+            cfg = dict(
+                n_robots=10, max_nodes=1500, episode_length=10000, max_steps=100000,
+                n_node_feat=3, hide_nodes=False, res=5.0,
+            )
+            bank_kind, horizon = "occupancy", 19
+        elif variant == "explore":
+            cfg = dict(
+                n_robots=4, max_nodes=1000, episode_length=50, max_steps=100000,
+                n_node_feat=4, hide_nodes=True, res=5.0,
+            )
+            bank_kind, horizon = "occupancy", 19
+        elif variant == "explore_full":
+            cfg = dict(
+                n_robots=100, max_nodes=1500, episode_length=50, max_steps=100000,
+                n_node_feat=4, hide_nodes=True, res=5.0,
+            )
+            bank_kind, horizon = "occupancy", 19
+        else:
+            raise ValueError(variant)
+        cfg.update(kwargs)
+        bank = cfg.pop("bank", None)
+        if bank is None:
+            bank = default_coverage_bank(
+                n_graphs=n_graphs,
+                n_robots=cfg["n_robots"],
+                max_nodes=cfg["max_nodes"],
+                horizon=horizon,
+                seed=bank_seed,
+                kind=bank_kind,
+                res=cfg["res"],
+            )
+        params = CoverageParams(bank=bank, **cfg)
+        return env, params
+
+    return factory

@@ -27,8 +27,8 @@ def reference_available() -> bool:
 def _install_numpy_compat():
     if not hasattr(np, "Inf"):
         np.Inf = np.inf  # type: ignore[attr-defined]
-    for alias, real in (("bool", bool), ("int", int), ("float", float), ("object", object)):
-        if not hasattr(np, alias):
+    for alias, real in (("bool", bool), ("int", int), ("float", float)):
+        if alias not in np.__dict__:
             setattr(np, alias, real)
 
 

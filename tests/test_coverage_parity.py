@@ -1,0 +1,272 @@
+"""Coverage graph-MDP parity vs the reference NumPy implementation.
+
+The same graph (target positions) is injected into both implementations via
+the reference's ``_initialize_graph`` and our ``build_graph_spec``; both are
+then driven from identical robot placements / visited sets with identical
+action sequences.  Buffers, rewards, dones, and the greedy expert must match.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams
+from gym_flock_tpu.envs.coverage_graph import (
+    build_graph_bank,
+    build_graph_spec,
+    construct_time_matrix,
+    generate_coverage_targets,
+)
+
+from tests.reference_oracle import reference_available, make_reference_env
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available"
+)
+
+N_ROBOTS = 6
+MAX_NODES = 500
+
+
+@pytest.fixture(scope="module")
+def shared_graph():
+    rng = np.random.RandomState(11)
+    while True:
+        targets = generate_coverage_targets(rng)
+        if 50 <= targets.shape[0] <= MAX_NODES - N_ROBOTS:
+            return targets
+
+
+@pytest.fixture(scope="module")
+def ref_env(shared_graph):
+    env = make_reference_env("Coverage-v0").__class__(init_graph=False)
+    env._initialize_graph(shared_graph.copy())
+    return env
+
+
+@pytest.fixture(scope="module")
+def our_env(shared_graph):
+    spec = build_graph_spec(
+        shared_graph, MAX_NODES - N_ROBOTS, N_ROBOTS, motion_radius=5.5 * 1.2,
+        horizon=10,
+    )
+    bank = build_graph_bank([spec])
+    env = CoverageEnv()
+    params = CoverageParams(bank=bank)
+    return env, params
+
+
+def _sync_states(ref, our_params, robot_loc, unvisited):
+    """Place both impls in the same state; return our CoverageState."""
+    from gym_flock_tpu.envs.coverage import CoverageState
+
+    n_targets = ref.n_targets
+    ref.episode_reward = 0
+    ref.step_counter = 0
+    ref.cached_solution = None
+    ref.last_loc = None
+    ref.graph_previous = None
+    ref.graph_cost = None
+    ref.x[:N_ROBOTS, 0:2] = ref.x[np.asarray(robot_loc) + N_ROBOTS, 0:2]
+    ref.visited.fill(1)
+    ref.visited[np.asarray(unvisited) + N_ROBOTS] = 0
+    ref.node_history = np.zeros((ref.n_agents, 1))
+
+    T = our_params.max_targets
+    visited = np.ones((T,))
+    visited[np.asarray(unvisited)] = 0.0
+    state = CoverageState(
+        time=jnp.int32(0),
+        graph=jnp.int32(0),
+        robot_loc=jnp.asarray(robot_loc, dtype=jnp.int32),
+        visited=jnp.asarray(visited),
+        discovered=jnp.zeros((T,)),
+        episode_reward=jnp.float32(0),
+    )
+    return state
+
+
+def _ref_obs(ref):
+    obs, reward, done = ref._get_obs_reward()
+    return obs, reward, done
+
+
+def _check_obs(obs, ref_obs, n_agents, msg=""):
+    np.testing.assert_allclose(
+        np.asarray(obs["nodes"])[:n_agents], ref_obs["nodes"][:n_agents],
+        atol=1e-6, err_msg=f"nodes {msg}",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obs["senders"]), ref_obs["senders"].flatten(), err_msg=f"senders {msg}"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obs["receivers"]), ref_obs["receivers"].flatten(), err_msg=f"receivers {msg}"
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs["edges"]), ref_obs["edges"], atol=1e-5, err_msg=f"edges {msg}"
+    )
+
+
+def test_time_matrix_matches_reference(ref_env, shared_graph):
+    cost_ref, prev_ref = ref_env.construct_time_matrix()
+    d = np.linalg.norm(
+        shared_graph[:, None, :] - shared_graph[None, :, :], axis=2
+    )
+    adj = (d <= 5.5 * 1.2) & (d > 0)
+    s, r = np.nonzero(adj)
+    cost, prev = construct_time_matrix(s, r, shared_graph.shape[0], horizon=10)
+    np.testing.assert_array_equal(cost, cost_ref)
+    np.testing.assert_array_equal(prev, prev_ref)
+
+
+def test_obs_and_random_walk_parity(ref_env, our_env):
+    env, params = our_env
+    rng = np.random.RandomState(0)
+    n_t = ref_env.n_targets
+    robot_loc = rng.choice(n_t, size=(N_ROBOTS,), replace=False)
+    unvisited = rng.choice(n_t, size=(n_t // 2,), replace=False)
+
+    state = _sync_states(ref_env, params, robot_loc, unvisited)
+
+    ref_obs, ref_r, ref_done = _ref_obs(ref_env)
+    obs, r, done, state = env._obs_reward(state, params)
+    _check_obs(obs, ref_obs, ref_env.n_agents, "init")
+    assert float(r) == ref_r
+
+    step = jax.jit(env.step_env)
+    key = jax.random.key(0)
+    for t in range(30):
+        action = rng.randint(0, 4, size=(N_ROBOTS,))
+        ref_obs, ref_r, ref_done, _ = ref_env.step(action.copy())
+        state, obs, r, done, _ = step(key, state, jnp.asarray(action), params)
+        assert float(r) == ref_r, f"reward mismatch t={t}"
+        assert bool(done) == ref_done, f"done mismatch t={t}"
+        np.testing.assert_array_equal(
+            np.asarray(state.robot_loc) + N_ROBOTS,
+            ref_env.closest_targets,
+            err_msg=f"robot locations t={t}",
+        )
+        _check_obs(obs, ref_obs, ref_env.n_agents, f"t={t}")
+
+
+def test_greedy_expert_parity(ref_env, our_env):
+    env, params = our_env
+    rng = np.random.RandomState(1)
+    n_t = ref_env.n_targets
+    robot_loc = rng.choice(n_t, size=(N_ROBOTS,), replace=False)
+    unvisited = rng.choice(n_t, size=(n_t // 2,), replace=False)
+
+    state = _sync_states(ref_env, params, robot_loc, unvisited)
+    _ref_obs(ref_env)
+    _, _, _, state = env._obs_reward(state, params)
+
+    key = jax.random.key(0)
+    for t in range(40):
+        ref_u = ref_env.controller(greedy=True)
+        u = env.controller(state, params, greedy=True)
+        np.testing.assert_array_equal(
+            np.asarray(u), ref_u, err_msg=f"greedy action t={t}"
+        )
+        ref_obs, ref_r, ref_done, _ = ref_env.step(ref_u.copy())
+        state, obs, r, done, _ = env.step_env(key, state, u, params)
+        assert float(r) == ref_r, f"reward t={t}"
+        if ref_done:
+            break
+
+
+def test_collision_resolution_order_dependence(ref_env, our_env):
+    """Two robots targeting the same node: lower index wins, higher stays."""
+    env, params = our_env
+    nbr = np.asarray(params.bank["neighbor_table"][0])
+    # find a node with a neighbor that is also reachable from another node
+    # (drive both robots to the same receiver)
+    found = None
+    n_t = ref_env.n_targets
+    for a in range(n_t):
+        for ai in range(4):
+            b = nbr[a, ai]
+            if b == a:
+                continue
+            # robot1 on some node c != a with neighbor b
+            for c in range(n_t):
+                if c in (a, b):
+                    continue
+                for ci in range(4):
+                    if nbr[c, ci] == b:
+                        found = (a, ai, c, ci, b)
+                        break
+                if found:
+                    break
+            if found:
+                break
+        if found:
+            break
+    assert found
+    a, ai, c, ci, b = found
+    others = [t for t in range(n_t) if t not in (a, b, c)][: N_ROBOTS - 2]
+    robot_loc = [a, c] + others
+    # others take action that keeps them in place if possible: action 3 may
+    # move them; instead give them their own index actions and just compare
+    state = _sync_states(ref_env, params, robot_loc, [b])
+    _ref_obs(ref_env)
+    _, _, _, state = env._obs_reward(state, params)
+
+    action = np.array([ai, ci] + [0] * (N_ROBOTS - 2))
+    ref_env.step(action.copy())
+    state, *_ = env.step_env(jax.random.key(0), state, jnp.asarray(action), params)
+    np.testing.assert_array_equal(
+        np.asarray(state.robot_loc) + N_ROBOTS, ref_env.closest_targets
+    )
+    assert int(state.robot_loc[0]) == b  # robot 0 won the node
+    assert int(state.robot_loc[1]) == c  # robot 1 stayed
+
+
+def test_hide_nodes_explore_parity(shared_graph):
+    """Explore mode: discovery masking + frontier flags vs reference."""
+    ref = make_reference_env("Coverage-v0").__class__(
+        init_graph=False, hide_nodes=True, n_node_feat=4
+    )
+    ref._initialize_graph(shared_graph.copy())
+
+    spec = build_graph_spec(
+        shared_graph, MAX_NODES - N_ROBOTS, N_ROBOTS, motion_radius=5.5 * 1.2,
+        horizon=10,
+    )
+    env = CoverageEnv()
+    params = CoverageParams(
+        bank=build_graph_bank([spec]), hide_nodes=True, n_node_feat=4
+    )
+
+    rng = np.random.RandomState(2)
+    n_t = ref.n_targets
+    robot_loc = rng.choice(n_t, size=(N_ROBOTS,), replace=False)
+    unvisited = rng.choice(n_t, size=(n_t // 2,), replace=False)
+
+    state = _sync_states(ref, params, robot_loc, unvisited)
+    ref.discovered_nodes = np.vstack(
+        (np.ones((N_ROBOTS, 1)), np.zeros((ref.max_nodes - N_ROBOTS, 1)))
+    )
+
+    ref_obs, ref_r, _ = _ref_obs(ref)
+    obs, r, done, state = env._obs_reward(state, params)
+    _check_obs(obs, ref_obs, ref.n_agents, "init")
+
+    key = jax.random.key(0)
+    for t in range(20):
+        ref_u = ref.controller(greedy=True)
+        u = env.controller(state, params, greedy=True)
+        np.testing.assert_array_equal(np.asarray(u), ref_u, err_msg=f"t={t}")
+        ref_obs, ref_r, ref_done, _ = ref.step(ref_u.copy())
+        state, obs, r, done, _ = env.step_env(key, state, u, params)
+        assert float(r) == ref_r, f"reward t={t}"
+        _check_obs(obs, ref_obs, ref.n_agents, f"t={t}")
+        # discovery masks must agree
+        np.testing.assert_array_equal(
+            np.asarray(state.discovered),
+            ref.discovered_nodes[N_ROBOTS : N_ROBOTS + params.max_targets, 0],
+            err_msg=f"discovered t={t}",
+        )
