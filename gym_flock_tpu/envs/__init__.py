@@ -8,3 +8,7 @@ from gym_flock_tpu.envs.flocking import (
     FlockingParams,
     FlockingState,
 )
+from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams, CoverageState
+from gym_flock_tpu.envs.shepherding import ShepherdingEnv, ShepherdingParams
+from gym_flock_tpu.envs.formation import FormationFlyingEnv, FormationParams
+from gym_flock_tpu.envs.lqr import LQREnv, LQRParams
