@@ -1,0 +1,103 @@
+"""ctypes bindings + lazy build for the native VRP solver.
+
+The reference delegates its expert routing problem to OR-Tools' C++ routing
+solver through SWIG (reference vrp_solver.py:78-134).  Here the solver is a
+self-contained C++ module (vrp_solver.cc) compiled on first use with the
+system toolchain and bound via ctypes — no SWIG/pybind dependency.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["solve_vrp_raw", "native_available"]
+
+_HERE = Path(__file__).parent
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _build_library() -> Path:
+    src = _HERE / "vrp_solver.cc"
+    lib = _HERE / "libvrp.so"
+    if lib.exists() and lib.stat().st_mtime >= src.stat().st_mtime:
+        return lib
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        "-o",
+        str(lib),
+        str(src),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return lib
+
+
+def _load() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(str(_build_library()))
+        lib.vrp_solve.restype = ctypes.c_int
+        lib.vrp_solve.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # time_matrix
+            ctypes.POINTER(ctypes.c_double),  # penalties
+            ctypes.c_int,  # n_nodes
+            ctypes.c_int,  # num_vehicles
+            ctypes.POINTER(ctypes.c_int),  # init_loc
+            ctypes.c_double,  # max_route_time
+            ctypes.POINTER(ctypes.c_int32),  # out
+            ctypes.c_int,  # max_len
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def solve_vrp_raw(
+    time_matrix: np.ndarray,
+    penalties: np.ndarray,
+    init_loc: np.ndarray,
+    max_route_time: float,
+) -> List[List[int]]:
+    """Solve the depot-augmented VRP; returns per-vehicle node sequences
+    (1-based node ids as in the depot-augmented matrix, depot excluded)."""
+    lib = _load()
+    n = time_matrix.shape[0]
+    num_vehicles = len(init_loc)
+    tm = np.ascontiguousarray(time_matrix, dtype=np.float64)
+    pen = np.ascontiguousarray(penalties, dtype=np.float64)
+    init = np.ascontiguousarray(init_loc, dtype=np.int32)
+    max_len = n + 2
+    out = np.full((num_vehicles, max_len), -1, dtype=np.int32)
+
+    rc = lib.vrp_solve(
+        tm.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        pen.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int(n),
+        ctypes.c_int(num_vehicles),
+        init.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_double(max_route_time),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(max_len),
+    )
+    if rc != 0:
+        raise RuntimeError(f"vrp_solve failed with code {rc}")
+    routes = []
+    for v in range(num_vehicles):
+        row = out[v]
+        routes.append([int(x) for x in row[row >= 0]])
+    return routes

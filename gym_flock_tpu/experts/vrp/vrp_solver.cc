@@ -1,0 +1,196 @@
+// Multi-vehicle routing solver for the coverage expert controller.
+//
+// Native replacement for the reference's OR-Tools dependency
+// (reference gym_flock/envs/spatial/vrp_solver.py:61-162 builds a
+// pywrapcp.RoutingModel with PATH_CHEAPEST_ARC first solution, per-node drop
+// penalties, and a max route-duration dimension).  Same problem formulation:
+//
+//   * nodes 0..n-1 where 0 is a virtual depot; every vehicle starts and ends
+//     at the depot;
+//   * time_matrix[(n)x(n)] arc costs (depot row = 0 cost only to each
+//     vehicle's initial location, reference vrp_solver.py:45-51);
+//   * penalties[i] — cost of NOT visiting node i (500 * need_to_visit,
+//     reference :30-32); zero-penalty nodes are droppable for free;
+//   * max_route_time — per-vehicle time budget (the routing "Time" dimension,
+//     reference :97-102).
+//
+// Algorithm: cheapest-arc route construction (each vehicle repeatedly
+// extends with the globally cheapest feasible (vehicle, node) arc among
+// penalized nodes — the spirit of PATH_CHEAPEST_ARC), followed by bounded
+// 2-opt intra-route and relocate inter-route improvement.  Exact OR-Tools
+// tie-break parity is out of scope (the reference driver catches expert
+// infeasibility and resets, test.py:53-59); route *validity* invariants are
+// preserved and tested from Python.
+//
+// Build: g++ -O3 -shared -fPIC -o libvrp.so vrp_solver.cc
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+struct Problem {
+  int n;  // node count including depot 0
+  int num_vehicles;
+  double max_time;
+  const double* cost;      // n*n row-major
+  const double* penalties; // n
+
+  double arc(int a, int b) const { return cost[a * n + b]; }
+};
+
+double route_time(const Problem& p, const std::vector<int>& route) {
+  // depot -> route[0] -> ... -> route[k-1] (return to depot is free:
+  // to_depot column is zero, reference vrp_solver.py:48)
+  double t = 0.0;
+  int prev = 0;
+  for (int node : route) {
+    t += p.arc(prev, node);
+    prev = node;
+  }
+  return t;
+}
+
+// Cheapest-arc construction over penalized nodes.
+void construct(const Problem& p, const std::vector<int>& init_loc,
+               std::vector<std::vector<int>>& routes) {
+  std::vector<char> visited(p.n, 0);
+  visited[0] = 1;
+
+  routes.assign(p.num_vehicles, {});
+  std::vector<double> used(p.num_vehicles, 0.0);
+  std::vector<int> last(p.num_vehicles, 0);
+
+  // First stops: each vehicle claims its own initial location (the depot row
+  // has zero cost exactly there; the reference asserts first stops are
+  // distinct init locations, vrp_solver.py:144-145).
+  for (int v = 0; v < p.num_vehicles; ++v) {
+    int node = init_loc[v];
+    if (node <= 0 || node >= p.n) continue;
+    routes[v].push_back(node);
+    used[v] += p.arc(0, node);
+    last[v] = node;
+    visited[node] = 1;
+  }
+
+  // Greedy cheapest-arc extension among nodes worth visiting.
+  while (true) {
+    double best = std::numeric_limits<double>::infinity();
+    int best_v = -1, best_node = -1;
+    for (int v = 0; v < p.num_vehicles; ++v) {
+      for (int node = 1; node < p.n; ++node) {
+        if (visited[node] || p.penalties[node] <= 0.0) continue;
+        double a = p.arc(last[v], node);
+        if (used[v] + a > p.max_time) continue;
+        // prefer cheaper arcs; tie-break by vehicle then node index
+        if (a < best) {
+          best = a;
+          best_v = v;
+          best_node = node;
+        }
+      }
+    }
+    if (best_v < 0) break;
+    routes[best_v].push_back(best_node);
+    used[best_v] += best;
+    last[best_v] = best_node;
+    visited[best_node] = 1;
+  }
+}
+
+// 2-opt within a route (first stop pinned — it is the vehicle's position).
+void two_opt(const Problem& p, std::vector<int>& route) {
+  if (route.size() < 4) return;
+  bool improved = true;
+  int guard = 0;
+  while (improved && guard++ < 50) {
+    improved = false;
+    for (size_t i = 1; i + 1 < route.size(); ++i) {
+      for (size_t j = i + 1; j < route.size(); ++j) {
+        int a = route[i - 1], b = route[i];
+        int c = route[j], d = (j + 1 < route.size()) ? route[j + 1] : -1;
+        double before = p.arc(a, b) + (d >= 0 ? p.arc(c, d) : 0.0);
+        double after = p.arc(a, c) + (d >= 0 ? p.arc(b, d) : 0.0);
+        if (after + 1e-9 < before) {
+          std::reverse(route.begin() + i, route.begin() + j + 1);
+          improved = true;
+        }
+      }
+    }
+  }
+}
+
+// Relocate: move a single stop to the cheapest position on any route if that
+// lowers total time and keeps every route within budget.
+void relocate(const Problem& p, std::vector<std::vector<int>>& routes) {
+  int guard = 0;
+  bool improved = true;
+  while (improved && guard++ < 20) {
+    improved = false;
+    for (int v1 = 0; v1 < p.num_vehicles; ++v1) {
+      for (size_t i = 1; i < routes[v1].size(); ++i) {  // first stop pinned
+        int node = routes[v1][i];
+        std::vector<int> without = routes[v1];
+        without.erase(without.begin() + i);
+        double base_gain = route_time(p, routes[v1]) - route_time(p, without);
+        double best_delta = -1e-9;
+        int best_v = -1;
+        size_t best_pos = 0;
+        for (int v2 = 0; v2 < p.num_vehicles; ++v2) {
+          const std::vector<int>& target = (v2 == v1) ? without : routes[v2];
+          for (size_t pos = 1; pos <= target.size(); ++pos) {
+            std::vector<int> cand = target;
+            cand.insert(cand.begin() + pos, node);
+            double add = route_time(p, cand) - route_time(p, target);
+            double t_new = route_time(p, cand);
+            if (t_new > p.max_time) continue;
+            double delta = base_gain - add;
+            if (delta > best_delta) {
+              best_delta = delta;
+              best_v = v2;
+              best_pos = pos;
+            }
+          }
+        }
+        if (best_v >= 0 && best_delta > 1e-9) {
+          routes[v1] = without;
+          std::vector<int>& tgt = (best_v == v1) ? routes[v1] : routes[best_v];
+          tgt.insert(tgt.begin() + best_pos, node);
+          improved = true;
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Solve; writes routes into out (num_vehicles rows x max_len, -1 terminated).
+// Returns 0 on success, negative on error.
+int vrp_solve(const double* time_matrix, const double* penalties, int n_nodes,
+              int num_vehicles, const int* init_loc, double max_route_time,
+              int32_t* out, int max_len) {
+  if (n_nodes <= 1 || num_vehicles <= 0) return -1;
+  Problem p{n_nodes, num_vehicles, max_route_time, time_matrix, penalties};
+
+  std::vector<int> init(init_loc, init_loc + num_vehicles);
+  std::vector<std::vector<int>> routes;
+  construct(p, init, routes);
+  for (auto& r : routes) two_opt(p, r);
+  relocate(p, routes);
+  for (auto& r : routes) two_opt(p, r);
+
+  for (int v = 0; v < num_vehicles; ++v) {
+    int len = std::min<int>(routes[v].size(), max_len - 1);
+    for (int i = 0; i < len; ++i) out[v * max_len + i] = routes[v][i];
+    out[v * max_len + len] = -1;
+  }
+  return 0;
+}
+
+}  // extern "C"
