@@ -1,0 +1,211 @@
+"""Drop-in legacy API: the reference's gym 0.11 class surface over pure envs.
+
+A user of the reference drives envs like
+
+    env = gym.make('FlockingRelative-v0')
+    obs = env.reset()
+    u = env.controller()
+    obs, reward, done, info = env.step(u)
+    env.render()
+
+(reference README.md:18-30, test.py:43-70).  This module reconstructs that
+surface as thin stateful wrappers over the pure functional envs: the wrapper
+owns the current ``state`` pytree and a PRNG key, and forwards to the jitted
+``reset_env/step_env/controller``.  ``seed()`` re-keys the stream —
+deterministically, unlike the reference's mixed global/instance RNG usage
+(SURVEY.md §5.9a).
+
+``make_legacy(env_id)`` plays gym.make; ``FlattenDictWrapper`` mirrors the
+gym wrapper the reference driver applies to coverage envs (test.py:33).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_flock_tpu.core.registry import make as _make
+
+__all__ = ["LegacyEnv", "make_legacy", "FlattenDictWrapper"]
+
+
+def _to_np(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class LegacyEnv:
+    """Stateful reset()/step()/controller()/render() facade over a pure env."""
+
+    def __init__(self, env, params, env_id: str = ""):
+        self.env = env
+        self.params = params
+        self.env_id = env_id
+        self._state = None
+        self._key = jax.random.key(0)
+        self._renderer = None
+        self.np_random = np.random.RandomState(0)
+
+    # -- gym surface ------------------------------------------------------
+
+    def seed(self, seed: Optional[int] = None):
+        self._key = jax.random.key(0 if seed is None else seed)
+        self.np_random = np.random.RandomState(seed)
+        return [seed]
+
+    def _split(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def reset(self):
+        self._state, obs = self.env.reset(self._split(), self.params)
+        return _to_np(obs)
+
+    def step(self, action):
+        action = jnp.asarray(np.asarray(action))
+        self._state, obs, reward, done, info = self.env.step(
+            self._split(), self._state, action, self.params
+        )
+        return _to_np(obs), float(reward), bool(done), info
+
+    def controller(self, *args, **kwargs):
+        assert self._state is not None, "call reset() first"
+        return np.asarray(self.env.controller(self._state, self.params, *args, **kwargs))
+
+    def render(self, mode: str = "human"):
+        if mode != "human":
+            return
+        from gym_flock_tpu.render.plot import get_renderer
+
+        if self._renderer is None:
+            self._renderer = get_renderer(self.env_id, self.env, self.params)
+        self._renderer.draw(self._state)
+
+    def close(self):
+        if self._renderer is not None:
+            self._renderer.close()
+            self._renderer = None
+
+    # -- reference extras -------------------------------------------------
+
+    @property
+    def state(self):
+        return self._state
+
+    @property
+    def observation_space(self):
+        return self.env.observation_space(self.params)
+
+    @property
+    def action_space(self):
+        return self.env.action_space(self.params)
+
+    def params_from_cfg(self, args):
+        """Re-configure from a ConfigParser section (reference
+        flocking_relative.py:68-85): n_agents, comm_radius, v_max, dt —
+        with the reference's ``r_max *= sqrt(n_agents)`` behavior expressed
+        by ``auto_scale_r_max`` (on by default)."""
+        updates: Dict[str, Any] = {}
+        getters = {
+            "comm_radius": ("comm_radius", float),
+            "n_agents": ("n_agents", int),
+            "v_max": ("v_max", float),
+            "dt": ("dt", float),
+        }
+        for cfg_key, (field, cast) in getters.items():
+            if cfg_key in args:
+                updates[field] = cast(args[cfg_key])
+        if updates:
+            self.params = self.params.replace(**updates)
+        return self.params
+
+    def update_state(self, state_xy: np.ndarray):
+        """Snap externally supplied robot positions onto the graph
+        (reference coverage_arl.py:42-44) — the ROS/AirSim injection point."""
+        from gym_flock_tpu.envs.coverage import CoverageState
+
+        assert isinstance(self._state, CoverageState)
+        g = self._state.graph
+        target_pos = np.asarray(self.params.bank["target_pos"][g])
+        mask = np.asarray(self.params.bank["target_mask"][g])
+        pos = np.asarray(state_xy)[:, 0:2]
+        d = np.linalg.norm(pos[:, None, :] - target_pos[None, :, :], axis=2)
+        d[:, ~mask] = np.inf
+        loc = np.argmin(d, axis=1).astype(np.int32)
+        self._state = self._state.replace(robot_loc=jnp.asarray(loc))
+
+    @property
+    def keys(self):
+        """Dict-obs key order (reference coverage.py:90)."""
+        return ["nodes", "edges", "senders", "receivers", "step"]
+
+
+class _CoverageLegacyEnv(LegacyEnv):
+    """Coverage-specific controller signature + VRP expert caching
+    (reference coverage.py:800-872)."""
+
+    def __init__(self, env, params, env_id=""):
+        super().__init__(env, params, env_id)
+        self._vrp = None
+
+    def reset(self):
+        if self._vrp is not None:
+            self._vrp.reset()
+        return super().reset()
+
+    def controller(self, random=False, greedy=False, reset_solution=False):
+        assert self._state is not None, "call reset() first"
+        if random:
+            return self.np_random.choice(
+                self.params.n_actions, size=(self.params.n_robots, 1)
+            )
+        if greedy:
+            return np.asarray(
+                self.env.controller(
+                    self._state, self.params, key=self._split(), greedy=True
+                )
+            )
+        from gym_flock_tpu.experts.coverage_vrp import CoverageVRPPolicy
+
+        if self._vrp is None or reset_solution:
+            self._vrp = CoverageVRPPolicy(self.params, horizon=-1)
+        return self._vrp(self._state)
+
+
+class FlattenDictWrapper:
+    """gym.wrappers.FlattenDictWrapper equivalent (reference test.py:33)."""
+
+    def __init__(self, env: LegacyEnv, dict_keys=None):
+        self.env = env
+        self.dict_keys = dict_keys or env.keys
+
+    def _flatten(self, obs):
+        return np.concatenate(
+            [np.asarray(obs[k], dtype=np.float32).ravel() for k in self.dict_keys]
+        )
+
+    def reset(self):
+        return self._flatten(self.env.reset())
+
+    def step(self, action):
+        obs, r, d, info = self.env.step(action)
+        return self._flatten(obs), r, d, info
+
+    def render(self, mode="human"):
+        return self.env.render(mode)
+
+    def close(self):
+        return self.env.close()
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+
+def make_legacy(env_id: str, **kwargs) -> LegacyEnv:
+    """gym.make-style construction of a legacy-surface env."""
+    env, params = _make(env_id, **kwargs)
+    from gym_flock_tpu.envs.coverage import CoverageEnv
+
+    cls = _CoverageLegacyEnv if isinstance(env, CoverageEnv) else LegacyEnv
+    return cls(env, params, env_id)

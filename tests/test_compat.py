@@ -1,0 +1,106 @@
+"""Legacy gym-0.11-style surface: reset/step/controller/render/seed."""
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import gym_flock_tpu  # noqa: F401
+from gym_flock_tpu.compat import FlattenDictWrapper, make_legacy
+
+
+def test_flocking_legacy_loop():
+    env = make_legacy("FlockingRelative-v0", n_agents=20)
+    env.seed(0)
+    obs = env.reset()
+    assert obs[0].shape == (20, 6) and obs[1].shape == (20, 20)
+    u = env.controller()
+    obs, r, d, info = env.step(u)
+    assert isinstance(r, float) and not d
+    env.render()
+    env.close()
+
+
+def test_seed_determinism():
+    env = make_legacy("FlockingRelative-v0", n_agents=15)
+    env.seed(42)
+    o1 = env.reset()
+    env.seed(42)
+    o2 = env.reset()
+    np.testing.assert_array_equal(o1[0], o2[0])
+
+
+def test_coverage_legacy_flatten_and_controllers():
+    env = make_legacy("Coverage-v0", n_graphs=1)
+    env.seed(0)
+    wrapped = FlattenDictWrapper(env, dict_keys=env.keys)
+    flat = wrapped.reset()
+    # reference layout: nodes 500x3 + edges 2000x1 + senders + receivers + step
+    assert flat.shape == (500 * 3 + 2000 * 3 + 1,)
+    a = env.controller(random=True)
+    assert a.shape == (6, 1)
+    a = env.controller(random=False, greedy=True)
+    flat, r, d, _ = wrapped.step(a)
+    assert isinstance(r, float)
+    env.close()
+
+
+def test_coverage_legacy_vrp_expert_runs():
+    env = make_legacy("Coverage-v0", n_graphs=1)
+    env.seed(1)
+    env.reset()
+    total = 0.0
+    for _ in range(5):
+        a = env.controller(random=False, greedy=False)
+        _, r, d, _ = env.step(a)
+        total += r
+    assert total >= 0
+
+
+def test_params_from_cfg():
+    env = make_legacy("FlockingRelative-v0")
+    env.params_from_cfg({"comm_radius": "1.5", "n_agents": "40", "v_max": "3.0", "dt": "0.05"})
+    assert env.params.comm_radius == 1.5
+    assert env.params.n_agents == 40
+    assert env.params.v_max == 3.0
+    obs = env.reset()
+    assert obs[0].shape == (40, 6)
+
+
+def test_update_state_snaps_to_graph():
+    env = make_legacy("Coverage-v0", n_graphs=1)
+    env.seed(2)
+    env.reset()
+    g = int(env.state.graph)
+    pos = np.asarray(env.params.bank["target_pos"][g])
+    mask = np.asarray(env.params.bank["target_mask"][g])
+    # place robots near specific nodes; update_state should snap to them
+    idx = np.where(mask)[0][:6]
+    noisy = pos[idx] + 0.3
+    env.update_state(noisy)
+    np.testing.assert_array_equal(np.asarray(env.state.robot_loc), idx)
+
+
+def test_formations_parity_with_reference():
+    from tests.reference_oracle import reference_available, load_reference
+
+    if not reference_available():
+        pytest.skip("no reference")
+    load_reference()
+    from gym_flock.envs.flocking.utils import circle as ref_circle  # type: ignore
+    from gym_flock.envs.flocking.utils import grid as ref_grid  # type: ignore
+    from gym_flock.envs.flocking.utils import twoflocks as ref_two  # type: ignore
+
+    from gym_flock_tpu.utils import circle, grid, twoflocks
+
+    for n in (12, 50):
+        a, b = circle(n)
+        ra, rb = ref_circle(n)
+        np.testing.assert_allclose(a, ra)
+        np.testing.assert_allclose(b, rb)
+    np.testing.assert_allclose(grid(25), ref_grid(25))
+    a, b = twoflocks(30)
+    ra, rb = ref_two(30)
+    np.testing.assert_allclose(a, ra)
+    np.testing.assert_allclose(b, rb)
