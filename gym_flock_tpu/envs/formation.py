@@ -45,10 +45,11 @@ class FormationState(EnvState):
     x: jax.Array  # [n, 4]: (px, py, goal_x, goal_y)
 
 
-_START_X = jnp.asarray([0.0, -2.0, 2.0])
-_START_Y = jnp.asarray([0.0, 0.0, 0.0])
-_GOAL_X = jnp.asarray([0.0, -2.0, 2.0])
-_GOAL_Y = jnp.asarray([2.0, 2.0, 2.0])
+# plain tuples: converted at trace time so they follow the active x64 mode
+_START_X = (0.0, -2.0, 2.0)
+_START_Y = (0.0, 0.0, 0.0)
+_GOAL_X = (0.0, -2.0, 2.0)
+_GOAL_Y = (2.0, 2.0, 2.0)
 
 
 class FormationFlyingEnv(Env[FormationParams, FormationState]):
@@ -75,7 +76,10 @@ class FormationFlyingEnv(Env[FormationParams, FormationState]):
         return state.x
 
     def reset_env(self, key, params: FormationParams):
-        x = jnp.stack((_START_X, _START_Y, _GOAL_X, _GOAL_Y), axis=1)
+        x = jnp.stack(
+            tuple(jnp.asarray(c) for c in (_START_X, _START_Y, _GOAL_X, _GOAL_Y)),
+            axis=1,
+        )
         state = FormationState(time=jnp.int32(0), x=x)
         return state, self._obs(state, params)
 

@@ -1,0 +1,155 @@
+"""Imitation-learning trainer: expert data generation + sharded train step.
+
+This is the workload the reference exists for (README.md:25-30: env experts
+generate imitation data for GNN policies trained in an external repo).  The
+TPU-native formulation fuses the whole loop on device:
+
+    rollout (vmapped envs, expert policy) -> (obs, expert actions)
+    -> policy gradient step (MSE to expert) -> repeat
+
+and shards it over a device mesh: the env-batch/data axis is partitioned
+across devices (dp), model parameters are replicated, and gradients are
+combined with ``psum`` — collectives ride ICI on a real pod slice
+(SURVEY.md §5.8).  ``jax.distributed.initialize`` extends the same program
+to multi-host; nothing in the code changes because the mesh abstracts hosts.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from gym_flock_tpu.core.env import Env
+from gym_flock_tpu.models.gnn import AggregationGNN
+from gym_flock_tpu.parallel.rollout import make_env_mesh, rollout
+
+__all__ = ["FlockingImitationTrainer", "collect_flocking_batch"]
+
+
+def collect_flocking_batch(env: Env, params, key: jax.Array, n_envs: int, n_steps: int):
+    """Expert-driven rollouts keeping (features, adjacency, expert action).
+
+    Returns leaves shaped [n_envs * n_steps, ...] — a flat supervised
+    dataset.
+    """
+
+    def one(key):
+        _, traj = rollout(
+            env, params, key, n_steps=n_steps, policy="expert", keep_obs=True
+        )
+        return traj
+
+    keys = jax.random.split(key, n_envs)
+    traj = jax.vmap(one)(keys)
+    feats, adj = traj.obs  # [B, T, N, 6], [B, T, N, N]
+    acts = traj.action  # [B, T, N, 2]
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    return flat(feats), flat(adj), flat(acts)
+
+
+class FlockingImitationTrainer:
+    """End-to-end on-device DAGGER-style behavior cloning for flocking.
+
+    The policy is the K-hop :class:`AggregationGNN`; supervision is the
+    Turner expert.  ``train_step`` is a single jitted program: collect a
+    fresh expert batch, compute the MSE loss and gradients, apply the optax
+    update.  ``make_sharded_train_step`` wraps it in ``shard_map`` over an
+    env/data mesh axis with psum'd gradients — the canonical DP layout.
+    """
+
+    def __init__(
+        self,
+        env: Env,
+        env_params,
+        model: Optional[AggregationGNN] = None,
+        learning_rate: float = 1e-3,
+    ):
+        self.env = env
+        self.env_params = env_params
+        self.model = model or AggregationGNN()
+        self.tx = optax.adam(learning_rate)
+
+    def init(self, key: jax.Array):
+        n = self.env_params.n_agents
+        feats = jnp.zeros((n, 6))
+        adj = jnp.zeros((n, n))
+        params = self.model.init(key, feats, adj)
+        return params, self.tx.init(params)
+
+    def loss_fn(self, params, feats, adj, actions):
+        """MSE to expert actions; batched over the leading axis."""
+        pred = jax.vmap(lambda f, a: self.model.apply(params, f, a))(feats, adj)
+        return jnp.mean((pred - actions) ** 2)
+
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def train_step(self, carry, key, _unused=None, n_envs: int = 8, n_steps: int = 8):
+        params, opt_state = carry
+        feats, adj, acts = collect_flocking_batch(
+            self.env, self.env_params, key, n_envs, n_steps
+        )
+        loss, grads = jax.value_and_grad(self.loss_fn)(params, feats, adj, acts)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    # ------------------------------------------------------------- sharded
+
+    def make_sharded_train_step(
+        self, mesh=None, n_envs: int = 16, n_steps: int = 8
+    ) -> Tuple[Callable, Any]:
+        """Data-parallel train step over a device mesh.
+
+        Env keys shard along the mesh axis (each device rolls its own env
+        shard and computes local grads); params/opt-state are replicated;
+        grads and loss are ``pmean``-ed across the axis before the update so
+        every device applies an identical step.
+        """
+        if mesh is None:
+            mesh = make_env_mesh()
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        assert n_envs % n_dev == 0
+        local_envs = n_envs // n_dev
+
+        def local_step(params, opt_state, keys):
+            # keys: [local_envs] — this device's env shard
+            feats, adj, acts = collect_flocking_batch(
+                self.env, self.env_params, keys[0], local_envs, n_steps
+            )
+            loss, grads = jax.value_and_grad(self.loss_fn)(params, feats, adj, acts)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=(P(), P(), P()),
+        )
+
+        def step(carry, key):
+            params, opt_state = carry
+            keys = jax.random.split(key, n_dev)
+            params, opt_state, loss = sharded(params, opt_state, keys)
+            return (params, opt_state), loss
+
+        return jax.jit(step), mesh
+
+    def fit(self, key: jax.Array, n_iters: int = 20, n_envs: int = 8, n_steps: int = 8):
+        """Single-device training driver; returns (params, losses)."""
+        k_init, key = jax.random.split(key)
+        carry = self.init(k_init)
+        losses = []
+        for i in range(n_iters):
+            key, sub = jax.random.split(key)
+            carry, loss = self.train_step(carry, sub, None, n_envs, n_steps)
+            losses.append(float(loss))
+        return carry[0], losses
