@@ -7,3 +7,10 @@ from gym_flock_tpu.ops.pairwise import (
     knn_edges,
     nodes_within_radius,
 )
+from gym_flock_tpu.ops.pallas_flocking import (
+    flocking_sums,
+    turner_controller_large,
+    flocking_features_large,
+    adjacency_matmul,
+    khop_aggregate,
+)

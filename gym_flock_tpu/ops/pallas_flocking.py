@@ -1,0 +1,286 @@
+"""Blockwise Pallas kernels for large-N flocking pairwise interactions.
+
+The XLA path (``gym_flock_tpu.envs.flocking``) materializes [N, N] channel
+arrays; at swarm sizes N >~ 1k with large env batches those intermediates
+(and, for GNN aggregation, the adjacency itself — 1 GB at N=16k) live in
+HBM.  These kernels keep everything tile-resident:
+
+* :func:`flocking_sums` — every per-agent neighbor reduction of the flocking
+  family in one pass: the 6 observation feature sums of ``compute_helpers``
+  (reference flocking_relative.py:124-128), the Turner potential-gradient
+  sums of ``controller`` (:204-226), and the neighbor degree.  HBM traffic
+  O(N) instead of O(N^2).
+* :func:`adjacency_matmul` — (A(x) @ H) with the radius-graph adjacency
+  generated on the fly per [BI, BJ] tile and fed straight to the MXU; A
+  never exists in HBM.  :func:`khop_aggregate` builds the AggregationGNN
+  input pipeline [X, AX, A^2X, ...] on top.
+
+Both use a 2-D (i, j) grid with the j (neighbor-block) axis innermost and
+accumulate into a revisited output block — inputs are streamed from HBM in
+(block, 1)/(1, block) tiles so VMEM stays bounded regardless of N or the
+vmapped batch size.
+
+Channel layout of the [N, 16] ``flocking_sums`` output (padding zeros):
+  0: sum adj*dvx        1: sum adj*dx/r^4   2: sum adj*dx/r^2
+  3: sum adj*dvy        4: sum adj*dy/r^4   5: sum adj*dy/r^2
+  6: sum grad_x         7: sum grad_y       8: degree (sum adj)
+
+adj = r^2 < comm_radius^2 off-diagonal; grad uses the reference's quirky
+cutoff r^2 > comm_radius (NOT squared; flocking_relative.py:225).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "flocking_sums",
+    "turner_controller_large",
+    "flocking_features_large",
+    "adjacency_matmul",
+    "khop_aggregate",
+]
+
+N_OUT = 16
+_PAD_POS = 1.0e15  # padding agents parked far away: adj=0, grads cut off
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# =============================================================================
+# flocking_sums
+# =============================================================================
+
+
+def _sums_kernel(scal, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref, *, bi, bj):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    comm_radius = scal[0]
+    comm_radius2 = scal[1]
+
+    row_ids = i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
+    col_ids = j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
+
+    dx = px_c[:] - px_r[:]  # [bi,1] - [1,bj] -> [bi,bj]
+    dy = py_c[:] - py_r[:]
+    dvx = vx_c[:] - vx_r[:]
+    dvy = vy_c[:] - vy_r[:]
+
+    r2 = dx * dx + dy * dy
+    r2 = jnp.where(row_ids == col_ids, jnp.inf, r2)
+    adj = (r2 < comm_radius2).astype(dx.dtype)
+    inv = 1.0 / r2
+    inv2 = inv * inv
+    # Turner grad factor: -2c/r^4 + 2c/r^2 == c * 2*inv*(1 - inv), zeroed
+    # where r2 > comm_radius (reference quirk) — diagonal killed by inf r2
+    gfac = jnp.where(r2 > comm_radius, 0.0, 2.0 * inv * (1.0 - inv))
+
+    sums = jnp.stack(
+        [
+            jnp.sum(dvx * adj, axis=1),
+            jnp.sum(dx * inv2 * adj, axis=1),
+            jnp.sum(dx * inv * adj, axis=1),
+            jnp.sum(dvy * adj, axis=1),
+            jnp.sum(dy * inv2 * adj, axis=1),
+            jnp.sum(dy * inv * adj, axis=1),
+            jnp.sum(dx * gfac, axis=1),
+            jnp.sum(dy * gfac, axis=1),
+            jnp.sum(adj, axis=1),
+        ],
+        axis=1,
+    )  # [bi, 9]
+    pad = jnp.zeros((bi, N_OUT - 9), dx.dtype)
+    block = jnp.concatenate([sums, pad], axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = block
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + block
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flocking_sums(x: jax.Array, comm_radius, comm_radius2, interpret: bool = False):
+    """All per-agent pairwise reductions for flocking, one fused pass.
+
+    x: [N, 4] agent states.  Returns [N, 16] channel sums (layout above).
+    """
+    n = x.shape[0]
+    dtype = x.dtype
+    bi = min(256, _round_up(n, 8))
+    bj = min(512, _round_up(n, 128))
+    n_pad = _round_up(n, max(bi, bj))
+
+    pad = n_pad - n
+    pad_pos = _PAD_POS * (1.0 + jnp.arange(pad, dtype=dtype))
+    px = jnp.concatenate([x[:, 0], pad_pos])
+    py = jnp.concatenate([x[:, 1], -pad_pos])
+    vx = jnp.concatenate([x[:, 2], jnp.zeros((pad,), dtype)])
+    vy = jnp.concatenate([x[:, 3], jnp.zeros((pad,), dtype)])
+
+    cols = [v.reshape(n_pad, 1) for v in (px, py, vx, vy)]
+    rows = [v.reshape(1, n_pad) for v in (px, py, vx, vy)]
+    scal = jnp.asarray([comm_radius, comm_radius2], dtype)
+
+    col_spec = pl.BlockSpec((bi, 1), lambda i, j, *_: (i, 0))
+    row_spec = pl.BlockSpec((1, bj), lambda i, j, *_: (0, j))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // bi, n_pad // bj),
+        in_specs=[col_spec] * 4 + [row_spec] * 4,
+        out_specs=pl.BlockSpec((bi, N_OUT), lambda i, j, *_: (i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sums_kernel, bi=bi, bj=bj),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, N_OUT), dtype),
+        interpret=interpret,
+    )(scal, *cols, *rows)
+    return out[:n]
+
+
+def flocking_features_large(x: jax.Array, comm_radius, comm_radius2, interpret=False):
+    """Large-N replacement for ``flocking_features``: returns
+    ``(state_values [N,6], degree [N])`` without materializing [N,N] arrays.
+    (The dense adjacency itself is deliberately not produced at this scale;
+    consumers should aggregate through :func:`adjacency_matmul` instead.)"""
+    s = flocking_sums(x, comm_radius, comm_radius2, interpret=interpret)
+    return s[:, 0:6], s[:, 8]
+
+
+def turner_controller_large(
+    x: jax.Array, comm_radius, comm_radius2, action_scalar, interpret: bool = False
+):
+    """Centralized Turner expert via the fused kernel (large-N path).
+
+    Uses the closed form sum_j (v_i - v_j) = N v_i - sum_j v_j for the
+    velocity-consensus term, and the kernel's cutoff-masked gradient sums.
+    """
+    n = x.shape[0]
+    s = flocking_sums(x, comm_radius, comm_radius2, interpret=interpret)
+    s_gx, s_gy = s[:, 6], s[:, 7]
+    s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+    s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+    controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
+    return jnp.clip(controls, -10.0, 10.0) / action_scalar
+
+
+# =============================================================================
+# adjacency_matmul: (A(x) @ H) with A generated on the fly
+# =============================================================================
+
+
+def _adj_matmul_kernel(scal, px_c, py_c, px_r, py_r, h_ref, out_ref, deg_ref, *, bi, bj, mean_pool):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    cr2 = scal[0]
+
+    row_ids = i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
+    col_ids = j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
+
+    dx = px_c[:] - px_r[:]
+    dy = py_c[:] - py_r[:]
+    r2 = dx * dx + dy * dy
+    adj = ((r2 < cr2) & (row_ids != col_ids)).astype(jnp.float32)
+
+    part = jnp.dot(adj, h_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    dpart = jnp.sum(adj, axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = part
+        deg_ref[:] = dpart
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + part
+        deg_ref[:] = deg_ref[:] + dpart
+
+    if mean_pool:
+
+        @pl.when(j == n_j - 1)
+        def _():
+            deg = deg_ref[:]
+            deg = jnp.where(deg == 0, 1.0, deg)
+            out_ref[:] = out_ref[:] / deg
+
+
+@functools.partial(jax.jit, static_argnames=("mean_pool", "interpret"))
+def adjacency_matmul(
+    x: jax.Array,
+    h: jax.Array,
+    comm_radius2,
+    mean_pool: bool = True,
+    interpret: bool = False,
+):
+    """(A(x) @ H), generating the radius-graph adjacency on the fly per tile.
+
+    The GNN aggregation primitive for large swarms: each [BI, BJ] adjacency
+    tile is computed from positions in VMEM and fed straight into an MXU
+    matmul against the matching H tile — A never exists in HBM.  At N=16k a
+    dense A is 1 GB per env instance; this kernel's footprint is O(N*F).
+    With ``mean_pool`` rows are degree-normalized exactly like
+    ``mean_pool_normalize`` (reference flocking_relative.py:120-122).
+    """
+    n, f = h.shape
+    bi = min(256, _round_up(n, 8))
+    bj = min(512, _round_up(n, 128))
+    n_pad = _round_up(n, max(bi, bj))
+    pad = n_pad - n
+    ppos = _PAD_POS * (1.0 + jnp.arange(pad, dtype=x.dtype))
+    px = jnp.concatenate([x[:, 0], ppos])
+    py = jnp.concatenate([x[:, 1], -ppos])
+    hp = jnp.concatenate([h, jnp.zeros((pad, f), h.dtype)])
+    scal = jnp.asarray([comm_radius2], x.dtype)
+
+    col_spec = pl.BlockSpec((bi, 1), lambda i, j, *_: (i, 0))
+    row_spec = pl.BlockSpec((1, bj), lambda i, j, *_: (0, j))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // bi, n_pad // bj),
+        in_specs=[col_spec, col_spec, row_spec, row_spec,
+                  pl.BlockSpec((bj, f), lambda i, j, *_: (j, 0))],
+        out_specs=(
+            pl.BlockSpec((bi, f), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((bi, 1), lambda i, j, *_: (i, 0)),
+        ),
+    )
+    out, _deg = pl.pallas_call(
+        functools.partial(_adj_matmul_kernel, bi=bi, bj=bj, mean_pool=mean_pool),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scal, px.reshape(-1, 1), py.reshape(-1, 1), px.reshape(1, -1), py.reshape(1, -1), hp)
+    return out[:n].astype(h.dtype)
+
+
+def khop_aggregate(
+    x: jax.Array,
+    features: jax.Array,
+    comm_radius2,
+    k_hops: int,
+    mean_pool: bool = True,
+    interpret: bool = False,
+):
+    """[X, AX, A^2 X, ...] concatenated — the AggregationGNN input pipeline
+    for large N, built on :func:`adjacency_matmul` (A is never materialized).
+    """
+    zs = [features]
+    z = features
+    for _ in range(k_hops - 1):
+        z = adjacency_matmul(x, z, comm_radius2, mean_pool=mean_pool, interpret=interpret)
+        zs.append(z)
+    return jnp.concatenate(zs, axis=-1)

@@ -1,0 +1,67 @@
+"""Pallas kernels vs XLA reference kernels (interpreter mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gym_flock_tpu.envs.flocking import (
+    FlockingParams,
+    flocking_features,
+    turner_controller,
+    mean_pool_normalize,
+)
+from gym_flock_tpu.ops.pallas_flocking import (
+    adjacency_matmul,
+    flocking_sums,
+    khop_aggregate,
+    turner_controller_large,
+)
+
+
+@pytest.mark.parametrize("n", [64, 137, 200])
+def test_flocking_sums_matches_xla(n):
+    x = jnp.asarray(np.random.RandomState(0).randn(n, 4).astype(np.float32) * 2)
+    params = FlockingParams(n_agents=n)
+    s = flocking_sums(x, params.comm_radius, params.comm_radius2, interpret=True)
+    values, adj, _, _ = flocking_features(x, params.comm_radius2)
+    scale = 1.0 + jnp.abs(values)
+    assert float(jnp.max(jnp.abs(s[:, :6] - values) / scale)) < 1e-4
+    np.testing.assert_allclose(np.asarray(s[:, 8]), np.asarray(jnp.sum(adj, axis=1)))
+
+
+def test_pallas_controller_matches_xla():
+    n = 150
+    x = jnp.asarray(np.random.RandomState(1).randn(n, 4).astype(np.float32) * 2)
+    params = FlockingParams(n_agents=n)
+    u_ref = turner_controller(x, params)
+    u_pal = turner_controller_large(
+        x, params.comm_radius, params.comm_radius2, params.action_scalar, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("mean_pool", [True, False])
+def test_adjacency_matmul_matches_xla(mean_pool):
+    n, f = 200, 16
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(n, 4).astype(np.float32) * 2)
+    h = jnp.asarray(rng.randn(n, f).astype(np.float32))
+    cr2 = 0.81
+    out = adjacency_matmul(x, h, cr2, mean_pool=mean_pool, interpret=True)
+
+    dx = x[:, 0][:, None] - x[:, 0][None, :]
+    dy = x[:, 1][:, None] - x[:, 1][None, :]
+    r2 = dx * dx + dy * dy
+    adj = ((r2 < cr2) & ~jnp.eye(n, dtype=bool)).astype(jnp.float32)
+    want = adj @ h
+    if mean_pool:
+        want = mean_pool_normalize(adj) @ h
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-4)
+
+
+def test_khop_aggregate_shapes():
+    n, f = 100, 6
+    x = jnp.asarray(np.random.RandomState(3).randn(n, 4).astype(np.float32))
+    feats = jnp.asarray(np.random.RandomState(4).randn(n, f).astype(np.float32))
+    z = khop_aggregate(x, feats, 0.81, k_hops=3, interpret=True)
+    assert z.shape == (n, 3 * f)
