@@ -154,6 +154,16 @@ class _CoverageLegacyEnv(LegacyEnv):
             self._vrp.reset()
         return super().reset()
 
+    def observe(self):
+        """Recompute obs/reward at the current state without moving robots —
+        the reference's ``step(action=None)`` path (coverage.py:180-202),
+        used by the ROS/AirSim drivers after external state injection."""
+        import numpy as np
+
+        obs, reward, done, state = self.env._obs_reward(self._state, self.params)
+        self._state = state
+        return _to_np(obs), float(reward), bool(done)
+
     def controller(self, random=False, greedy=False, reset_solution=False):
         assert self._state is not None, "call reset() first"
         if random:
