@@ -73,10 +73,19 @@ class CoverageParams:
     revisit_nodes: bool = struct.field(pytree_node=False, default=False)
     nearby_starts: bool = struct.field(pytree_node=False, default=True)
     nearby_density: int = struct.field(pytree_node=False, default=5)
+    # non-default reference feature flags (coverage.py:41-46).  USE_POS_DELTA
+    # is NOT implemented: it is broken upstream (the un-doubled action_diff
+    # cannot concatenate with the doubled action_dist, coverage.py:287).
+    # USE_NODE_HISTORY needs no state: the reference's history update guard
+    # `USE_NODE_HISTORY == 4` is always False for a bool (coverage.py:268,
+    # SURVEY.md §5.9e), so the history column is identically zero.
+    comm_edges: bool = struct.field(pytree_node=False, default=False)
+    last_edge_feature: bool = struct.field(pytree_node=False, default=False)
     # --- dynamic ---
     frac_active_targets: float = 0.5
     res: float = DELTA
     discover_radius: float = 4.0 * DELTA  # coverage.py:335
+    comm_radius: float = 100.0  # robot-robot comm range (coverage.py:135)
     # graph bank: dict of stacked arrays (see coverage_graph.build_graph_bank)
     bank: Any = None
 
@@ -93,6 +102,16 @@ class CoverageParams:
         # bidirectional action edges written at the buffer tail each step
         return 2 * self.n_actions * self.n_robots
 
+    @property
+    def n_comm_edges(self) -> int:
+        # robot-robot comm edge slots (R*(R-1) pairs, masked when out of range)
+        return self.n_robots * (self.n_robots - 1) if self.comm_edges else 0
+
+    @property
+    def n_edge_feat(self) -> int:
+        # [dist] or [last_edge_flag, dist] (reference coverage.py:296-314)
+        return 2 if self.last_edge_feature else 1
+
 
 @struct.dataclass
 class CoverageState(EnvState):
@@ -101,6 +120,7 @@ class CoverageState(EnvState):
     visited: jax.Array  # [max_targets] float32 (1 = visited)
     discovered: jax.Array  # [max_targets] float32 (hide_nodes mode)
     episode_reward: jax.Array  # float32 accumulator (render/metrics parity)
+    last_loc: jax.Array  # [R] int32 pre-move location; -1 after reset
 
 
 def _safe_gather(vec: jax.Array, idx: jax.Array, fill=0.0) -> jax.Array:
@@ -162,6 +182,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             visited=visited,
             discovered=discovered,
             episode_reward=jnp.float32(0.0),
+            last_loc=jnp.full((R,), -1, dtype=jnp.int32),  # None in reference
         )
         obs, _, _, state = self._obs_reward(state, params)
         return state, obs
@@ -198,7 +219,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 
         next_locs, _ = jax.lax.scan(resolve, next_locs, jnp.arange(R))
 
-        state = state.replace(robot_loc=next_locs.astype(jnp.int32))
+        state = state.replace(robot_loc=next_locs.astype(jnp.int32), last_loc=cur)
         key, k_obs = jax.random.split(key)
         obs, reward, done, state = self._obs_reward(state, params, key=k_obs)
         return state, obs, reward, done, {}
@@ -237,7 +258,41 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         # (coverage.py:282-283)
         tail_senders = jnp.concatenate([nodes_g, robots])  # [nA]
         tail_receivers = jnp.concatenate([robots, nodes_g])
-        tail_edges = jnp.concatenate([dist, dist]) / params.res  # (:292)
+        tail_dist = jnp.concatenate([dist, dist]) / params.res  # (:292)
+
+        # ---- robot-robot comm edges (COMM_EDGES, coverage.py:271-280):
+        # static R*(R-1) off-diagonal slots in np.nonzero row-major order,
+        # masked to -1 where 0 < d <= comm_radius fails
+        if params.comm_edges:
+            target_pos = params.bank["target_pos"][g]
+            rp = target_pos[cur]  # [R, 2]
+            dmat = jnp.sqrt(
+                jnp.sum((rp[:, None, :] - rp[None, :, :]) ** 2, axis=-1)
+            )
+            ii = jnp.repeat(jnp.arange(R, dtype=jnp.int32), R - 1)
+            jj = (
+                jnp.arange(R * (R - 1), dtype=jnp.int32) % (R - 1)
+            )
+            jj = jnp.where(jj >= ii, jj + 1, jj)  # skip the diagonal
+            dvals = dmat[ii, jj]
+            valid = (dvals > 0) & (dvals <= params.comm_radius)
+            comm_senders = jnp.where(valid, ii, -1)
+            comm_receivers = jnp.where(valid, jj, -1)
+            comm_dist = jnp.where(valid, dvals, 0.0) / params.res
+            tail_senders = jnp.concatenate([tail_senders, comm_senders])
+            tail_receivers = jnp.concatenate([tail_receivers, comm_receivers])
+            tail_dist = jnp.concatenate([tail_dist, comm_dist])
+
+        # ---- last-edge flag (LAST_EDGE_FEATURE, coverage.py:296-308):
+        # tail edge k flagged when it points INTO robot i from i's pre-move
+        # location (last_loc is None -> all zeros after reset)
+        if params.last_edge_feature:
+            last_g = jnp.where(state.last_loc >= 0, state.last_loc + R, -2)
+            is_robot = tail_receivers < R
+            safe_recv = jnp.clip(tail_receivers, 0, R - 1)
+            last_flag = (
+                is_robot & (tail_senders == last_g[safe_recv])
+            ).astype(jnp.float32)
 
         # ---- visited update + reward (coverage.py:265-266, 357-359)
         old_sum = jnp.sum(visited * mask)
@@ -246,14 +301,23 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         reward = new_sum - old_sum
 
         # ---- buffers
-        senders = params.bank["motion_senders"][g]  # [E - nA], -1 padded
-        receivers = params.bank["motion_receivers"][g]
-        motion_dists = params.bank["motion_dists"][g]
-        # motion-edge features are raw distances (coverage.py:592 does NOT
-        # normalize by res, unlike action edges — parity quirk)
-        senders = jnp.concatenate([senders, tail_senders])  # [E]
-        receivers = jnp.concatenate([receivers, tail_receivers])
-        edge_feat = jnp.concatenate([motion_dists, tail_edges]).reshape((E, 1))
+        n_tail = tail_senders.shape[0]  # nA (+ comm slots)
+        motion_senders = params.bank["motion_senders"][g][: E - n_tail]
+        motion_receivers = params.bank["motion_receivers"][g][: E - n_tail]
+        motion_dists = params.bank["motion_dists"][g][: E - n_tail]
+        senders = jnp.concatenate([motion_senders, tail_senders])  # [E]
+        receivers = jnp.concatenate([motion_receivers, tail_receivers])
+        # motion-edge features are raw distances in column 0 (coverage.py:592
+        # does NOT normalize by res, and with LAST_EDGE_FEATURE the tail's
+        # dist moves to column 1 while motion rows keep column 0 — quirks)
+        if params.last_edge_feature:
+            motion_cols = jnp.stack(
+                [motion_dists, jnp.zeros_like(motion_dists)], axis=1
+            )
+            tail_cols = jnp.stack([last_flag, tail_dist], axis=1)
+            edge_feat = jnp.concatenate([motion_cols, tail_cols], axis=0)
+        else:
+            edge_feat = jnp.concatenate([motion_dists, tail_dist]).reshape((E, 1))
 
         # ---- node features (coverage.py:319-329)
         robot_flag = jnp.concatenate(
@@ -300,7 +364,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
                 )
 
             seen_edges = d_send * d_recv
-            seen_edges = seen_edges.at[E - nA :].set(1.0)  # coverage.py:343
+            seen_edges = seen_edges.at[E - n_tail :].set(1.0)  # coverage.py:343
             out_senders = jnp.where(seen_edges > 0, senders, -1)
 
         # ---- step counter & done (coverage.py:351-357): the obs carries the
@@ -378,7 +442,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         return DictSpace(
             {
                 "nodes": Box(-jnp.inf, jnp.inf, (params.max_nodes, params.n_node_feat)),
-                "edges": Box(-jnp.inf, jnp.inf, (E, 1)),
+                "edges": Box(-jnp.inf, jnp.inf, (E, params.n_edge_feat)),
                 "senders": Box(-1, params.max_nodes, (E,), jnp.int32),
                 "receivers": Box(-1, params.max_nodes, (E,), jnp.int32),
                 "step": Box(0, params.episode_length, (1, 1)),

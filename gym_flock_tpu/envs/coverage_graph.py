@@ -404,3 +404,78 @@ def build_graph_bank(specs: List[GraphSpec]):
         "graph_cost": stack("graph_cost"),
         "graph_prev": stack("graph_prev"),
     }
+
+
+# =============================================================================
+# Obstacle rejection & legacy target layouts (reference make_map.py:8-27,70-180)
+# =============================================================================
+
+
+def in_obstacle(obstacles, px: float, py: float) -> bool:
+    """Point-in-any-rectangle test (reference make_map.py:8-19)."""
+    for (xmin, xmax, ymin, ymax) in obstacles:
+        if xmin <= px <= xmax and ymin <= py <= ymax:
+            return True
+    return False
+
+
+def gen_obstacle_grid(ranges):
+    """Cartesian product of 1-D ranges into rectangles (make_map.py:22-27)."""
+    return [(x1, x2, y1, y2) for (x1, x2) in ranges for (y1, y2) in ranges]
+
+
+def reject_collisions(points: np.ndarray, obstacles=None) -> np.ndarray:
+    """Drop points inside rectangular obstacles (make_map.py:70-87)."""
+    if obstacles is None or len(obstacles) == 0:
+        return points
+    flag = np.array(
+        [not in_obstacle(obstacles, p[0], p[1]) for p in points], dtype=bool
+    )
+    return points[flag, :]
+
+
+def gen_square(n_targets: int, x_max: float, y_max: float) -> np.ndarray:
+    """Targets on the perimeter of a square (reference make_map.py:90-122,
+    returned as an array instead of mutating an env in place)."""
+    per_side = int(n_targets / 4)
+    targets = set()
+    for tempx, tempy in (
+        (np.linspace(-x_max, -x_max, 1), np.linspace(-y_max, y_max, per_side, endpoint=False)),
+        (np.linspace(x_max, x_max, 1), np.linspace(-y_max, y_max, per_side, endpoint=False)),
+        (np.linspace(-x_max, x_max, per_side, endpoint=False), np.linspace(y_max, y_max, 1)),
+        (np.linspace(-x_max, x_max, per_side, endpoint=False), np.linspace(-y_max, -y_max, 1)),
+    ):
+        tx, ty = np.meshgrid(tempx, tempy)
+        targets |= set(zip(tx.flatten(), ty.flatten()))
+    targets.add((x_max, y_max))
+    out = np.array(sorted(targets))
+    return out
+
+
+def gen_grid(n_targets: int, spacing: float) -> np.ndarray:
+    """Square grid of targets (reference make_map.py:125-133)."""
+    side = int(np.sqrt(n_targets))
+    extent = spacing * side
+    tempx = np.linspace(-extent, extent, side)
+    tempy = np.linspace(-extent, extent, side)
+    tx, ty = np.meshgrid(tempx, tempy)
+    return np.stack((tx.flatten(), ty.flatten()), axis=1)
+
+
+def gen_sparse_grid(n_targets: int, x_max: float, y_max: float,
+                    x_step: float, y_step: float) -> np.ndarray:
+    """Perimeter + center-cross sparse layout (reference make_map.py:136-180)."""
+    per_side = int(n_targets / 6)
+    targets = set()
+    for tempx, tempy in (
+        (np.linspace(-x_max, -x_max, 1), np.linspace(-y_max, y_max, per_side, endpoint=False)),
+        (np.linspace(x_max, x_max, 1), np.linspace(-y_max, y_max, per_side, endpoint=False)),
+        (np.linspace(0, 0, 1), np.linspace(-y_max + y_step, y_max, per_side, endpoint=False)),
+        (np.linspace(-x_max, x_max, per_side, endpoint=False), np.linspace(y_max, y_max, 1)),
+        (np.linspace(-x_max, x_max, per_side, endpoint=False), np.linspace(-y_max, -y_max, 1)),
+        (np.linspace(-x_max + x_step, x_max, per_side, endpoint=False), np.linspace(0, 0, 1)),
+    ):
+        tx, ty = np.meshgrid(tempx, tempy)
+        targets |= set(zip(tx.flatten(), ty.flatten()))
+    targets.add((x_max, y_max))
+    return np.array(sorted(targets))

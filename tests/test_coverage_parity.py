@@ -86,6 +86,7 @@ def _sync_states(ref, our_params, robot_loc, unvisited):
         visited=jnp.asarray(visited),
         discovered=jnp.zeros((T,)),
         episode_reward=jnp.float32(0),
+        last_loc=jnp.full((len(robot_loc),), -1, dtype=jnp.int32),
     )
     return state
 
@@ -270,3 +271,112 @@ def test_hide_nodes_explore_parity(shared_graph):
             ref.discovered_nodes[N_ROBOTS : N_ROBOTS + params.max_targets, 0],
             err_msg=f"discovered t={t}",
         )
+
+
+def test_last_edge_feature_parity(shared_graph):
+    """LAST_EDGE_FEATURE flag: 2-column edge features with last-move flags.
+
+    The reference reads these flags from module globals at call time; using
+    them requires also bumping N_EDGE_FEAT (the buffer allocation constant),
+    exactly as a user of the reference would edit coverage.py:44 and :35.
+    """
+    import gym_flock.envs.spatial.coverage as ref_mod
+
+    old_flag, old_feat = ref_mod.LAST_EDGE_FEATURE, ref_mod.N_EDGE_FEAT
+    ref_mod.LAST_EDGE_FEATURE, ref_mod.N_EDGE_FEAT = True, 2
+    try:
+        ref = ref_mod.CoverageEnv(init_graph=False)
+        ref._initialize_graph(shared_graph.copy())
+
+        spec = build_graph_spec(
+            shared_graph, MAX_NODES - N_ROBOTS, N_ROBOTS,
+            motion_radius=5.5 * 1.2, horizon=10,
+        )
+        env = CoverageEnv()
+        params = CoverageParams(
+            bank=build_graph_bank([spec]), last_edge_feature=True
+        )
+
+        rng = np.random.RandomState(5)
+        n_t = ref.n_targets
+        robot_loc = rng.choice(n_t, size=(N_ROBOTS,), replace=False)
+        unvisited = rng.choice(n_t, size=(n_t // 2,), replace=False)
+        state = _sync_states(ref, params, robot_loc, unvisited)
+
+        ref_obs, _, _ = _ref_obs(ref)
+        obs, _, _, state = env._obs_reward(state, params)
+        np.testing.assert_allclose(np.asarray(obs["edges"]), ref_obs["edges"], atol=1e-5)
+
+        key = jax.random.key(0)
+        for t in range(15):
+            action = rng.randint(0, 4, size=(N_ROBOTS,))
+            ref_obs, ref_r, _, _ = ref.step(action.copy())
+            state, obs, r, _, _ = env.step_env(key, state, jnp.asarray(action), params)
+            assert float(r) == ref_r
+            np.testing.assert_allclose(
+                np.asarray(obs["edges"]), ref_obs["edges"], atol=1e-5,
+                err_msg=f"edges t={t}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(obs["senders"]), ref_obs["senders"].flatten()
+            )
+        # the flag column must actually fire sometimes
+        assert np.asarray(obs["edges"])[:, 0].sum() > 0
+    finally:
+        ref_mod.LAST_EDGE_FEATURE, ref_mod.N_EDGE_FEAT = old_flag, old_feat
+
+
+def test_comm_edges_parity(shared_graph):
+    """COMM_EDGES flag: robot-robot edges appended at the buffer tail.
+
+    Exact buffer parity holds when all robot pairs are in range (the static
+    R*(R-1) slots are all valid) — guaranteed here by nearby starts.
+    """
+    import gym_flock.envs.spatial.coverage as ref_mod
+
+    old_flag = ref_mod.COMM_EDGES
+    ref_mod.COMM_EDGES = True
+    try:
+        ref = ref_mod.CoverageEnv(init_graph=False)
+        ref._initialize_graph(shared_graph.copy())
+
+        spec = build_graph_spec(
+            shared_graph, MAX_NODES - N_ROBOTS, N_ROBOTS,
+            motion_radius=5.5 * 1.2, horizon=10,
+        )
+        env = CoverageEnv()
+        params = CoverageParams(bank=build_graph_bank([spec]), comm_edges=True)
+
+        rng = np.random.RandomState(6)
+        n_t = ref.n_targets
+        # co-located cluster of starts => all pairwise distances < 100
+        robot_loc = np.arange(N_ROBOTS) + 3
+        unvisited = rng.choice(n_t, size=(n_t // 2,), replace=False)
+        state = _sync_states(ref, params, robot_loc, unvisited)
+
+        ref_obs, _, _ = _ref_obs(ref)
+        obs, _, _, state = env._obs_reward(state, params)
+        np.testing.assert_array_equal(
+            np.asarray(obs["senders"]), ref_obs["senders"].flatten()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(obs["receivers"]), ref_obs["receivers"].flatten()
+        )
+        np.testing.assert_allclose(np.asarray(obs["edges"]), ref_obs["edges"], atol=1e-5)
+
+        key = jax.random.key(0)
+        for t in range(10):
+            action = rng.randint(0, 4, size=(N_ROBOTS,))
+            ref_obs, ref_r, _, _ = ref.step(action.copy())
+            state, obs, r, _, _ = env.step_env(key, state, jnp.asarray(action), params)
+            assert float(r) == ref_r
+            np.testing.assert_array_equal(
+                np.asarray(obs["senders"]), ref_obs["senders"].flatten(),
+                err_msg=f"senders t={t}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(obs["edges"]), ref_obs["edges"], atol=1e-5,
+                err_msg=f"edges t={t}",
+            )
+    finally:
+        ref_mod.COMM_EDGES = old_flag
