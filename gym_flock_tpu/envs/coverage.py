@@ -194,9 +194,10 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         g = state.graph
         action = jnp.asarray(action).reshape((R,)).astype(jnp.int32)
 
-        nbr = params.bank["neighbor_table"][g]  # [T, A] target idx
         cur = state.robot_loc  # [R]
-        chosen = nbr[cur, action]  # [R] target idx
+        # fused gather: [R] rows of this graph's neighbor table (materializing
+        # bank[g] would stage the whole [T, A] table per env instance)
+        chosen = params.bank["neighbor_table"][g, cur, action]  # [R]
 
         # two-pass conflict resolution (reference coverage.py:186-201):
         # pass 1 — robots staying in place claim their node first
@@ -247,8 +248,8 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             visited = jnp.where(flip & mask, 0.0, visited)
 
         # ---- action edges (reference get_action_edges, coverage.py:206-232)
-        nbr = params.bank["neighbor_table"][g][cur]  # [R, A] target idx
-        nbr_dist = params.bank["neighbor_dist"][g][cur]  # [R, A]
+        nbr = params.bank["neighbor_table"][g, cur]  # [R, A] target idx
+        nbr_dist = params.bank["neighbor_dist"][g, cur]  # [R, A]
         robots = jnp.repeat(jnp.arange(R, dtype=jnp.int32), A)  # [R*A] global
         nodes_g = (nbr + R).reshape((R * A,))  # global indices
         dist = nbr_dist.reshape((R * A,))
@@ -411,11 +412,10 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         if key is None:
             key = jax.random.key(0)
         mask = params.bank["target_mask"][g]
-        cost = params.bank["graph_cost"][g]  # [T, T]
-        prev = params.bank["graph_prev"][g]
         cur = state.robot_loc
 
-        r = cost[cur]  # [R, T]
+        # fused row gathers — never stage the [T, T] matrices per env
+        r = params.bank["graph_cost"][g, cur]  # [R, T]
         blocked = (state.visited >= 1.0) | ~mask
         if params.hide_nodes:
             blocked = blocked | (state.discovered <= 0.0)
@@ -423,11 +423,11 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         greedy_loc = jnp.argmin(r, axis=1)  # [R] target idx
         unreachable = r[jnp.arange(R), greedy_loc] >= MAX_COST
 
-        next_step = prev[greedy_loc, cur]  # [R] predecessor toward goal
+        next_step = params.bank["graph_prev"][g, greedy_loc, cur]  # [R]
         bad = unreachable | (next_step == -1)
 
         # map next_step to the action index in the robot's neighbor row
-        nbr = params.bank["neighbor_table"][g][cur]  # [R, A]
+        nbr = params.bank["neighbor_table"][g, cur]  # [R, A]
         match = nbr == next_step[:, None]
         u = jnp.argmax(match, axis=1).astype(jnp.int32)
 

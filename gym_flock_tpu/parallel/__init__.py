@@ -5,3 +5,9 @@ from gym_flock_tpu.parallel.rollout import (
     make_env_mesh,
 )
 from gym_flock_tpu.parallel.train import FlockingImitationTrainer, collect_flocking_batch
+from gym_flock_tpu.parallel.train import save_checkpoint, restore_checkpoint
+from gym_flock_tpu.parallel.distributed import (
+    initialize as distributed_initialize,
+    global_env_mesh,
+    host_fold,
+)

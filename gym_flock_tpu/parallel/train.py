@@ -153,3 +153,28 @@ class FlockingImitationTrainer:
             carry, loss = self.train_step(carry, sub, None, n_envs, n_steps)
             losses.append(float(loss))
         return carry[0], losses
+
+
+# =============================================================================
+# Checkpoint / resume (the reference has none — SURVEY.md §5.4)
+# =============================================================================
+
+
+def save_checkpoint(path: str, params, opt_state) -> None:
+    """Serialize trainer state (msgpack via flax.serialization)."""
+    from flax import serialization
+
+    blob = serialization.to_bytes({"params": params, "opt_state": opt_state})
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def restore_checkpoint(path: str, params_template, opt_state_template):
+    """Restore trainer state into pytrees of the same structure."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    target = {"params": params_template, "opt_state": opt_state_template}
+    restored = serialization.from_bytes(target, blob)
+    return restored["params"], restored["opt_state"]

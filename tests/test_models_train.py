@@ -70,3 +70,35 @@ def test_sharded_train_step_runs(devices8):
     carry = trainer.init(jax.random.key(1))
     carry, loss = step(carry, jax.random.key(2))
     assert bool(jnp.isfinite(loss))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import gym_flock_tpu as gft_
+    from gym_flock_tpu.parallel import save_checkpoint, restore_checkpoint
+
+    env, params = gft_.make("FlockingRelative-v0", n_agents=8)
+    trainer = FlockingImitationTrainer(env, params)
+    carry = trainer.init(jax.random.key(0))
+    carry, loss = trainer.train_step(carry, jax.random.key(1), None, 2, 2)
+
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, carry[0], carry[1])
+
+    fresh = trainer.init(jax.random.key(9))
+    p2, o2 = restore_checkpoint(path, fresh[0], fresh[1])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        carry[0], p2,
+    )
+    # training continues from the restored state
+    (p3, o3), loss2 = trainer.train_step((p2, o2), jax.random.key(2), None, 2, 2)
+    assert bool(jnp.isfinite(loss2))
+
+
+def test_host_fold_and_mesh_helpers():
+    from gym_flock_tpu.parallel import global_env_mesh, host_fold
+
+    k = host_fold(jax.random.key(0))
+    assert k.shape == ()
+    mesh = global_env_mesh("env")
+    assert mesh.axis_names == ("env",)
