@@ -158,8 +158,6 @@ class _CoverageLegacyEnv(LegacyEnv):
         """Recompute obs/reward at the current state without moving robots —
         the reference's ``step(action=None)`` path (coverage.py:180-202),
         used by the ROS/AirSim drivers after external state injection."""
-        import numpy as np
-
         obs, reward, done, state = self.env._obs_reward(self._state, self.params)
         self._state = state
         return _to_np(obs), float(reward), bool(done)

@@ -1,0 +1,80 @@
+"""Legacy-RNG parity resets: bit-identical initial states from a seed.
+
+The reference's flocking reset draws from the *global* ``np.random`` stream
+(reference flocking_relative.py:167-174 — not the seeded ``self.np_random``,
+SURVEY.md §5.9a).  For golden-trajectory reproduction from a seed, this
+module performs byte-identical draw sequences on the host (same ops, same
+order, same MT19937 stream) and injects the resulting state into the pure
+device env via ``init_state``.  Device dynamics are deterministic, so
+trajectories then match the reference end-to-end (tests/test_flocking_parity.py
+proves the dynamics side at 1e-9).
+
+Coverage-family resets are not seed-reproducible even against themselves:
+the reference mixes three streams (``self.np_random`` robot placement,
+global ``np.random`` in map generation at make_map.py:208 and subgraph
+selection at coverage_arl.py:69) whose interleaving depends on SciPy
+internals; parity there is instead established by state injection
+(tests/test_coverage_parity.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["reference_flocking_reset"]
+
+
+def reference_flocking_reset(
+    n_agents: int,
+    r_max: float,
+    v_max: float,
+    comm_radius2: float,
+    v_bias: Optional[float] = None,
+    min_dist_thresh: float = 0.1,
+    rng=np.random,
+) -> np.ndarray:
+    """Replay the reference flocking reset's exact draw sequence.
+
+    ``rng`` defaults to the global ``np.random`` module — seed it with
+    ``np.random.seed(s)`` to reproduce the reference under the same seed
+    (that is what the reference itself consumes).  Returns x [n, 4].
+
+    Draw order per rejection-loop iteration (flocking_relative.py:164-184):
+    uniform lengths, uniform angles, uniform 2-bias, uniform vx, uniform vy;
+    accept when min degree >= 2 and min pairwise distance > 0.1.
+    """
+    if v_bias is None:
+        v_bias = v_max
+    x = np.zeros((n_agents, 4))
+    degree = 0
+    min_dist = 0.0
+    guard = 0
+    while degree < 2 or min_dist < min_dist_thresh:
+        guard += 1
+        if guard > 10000:
+            raise RuntimeError(
+                "reset rejection sampling did not terminate — the reference "
+                "default config has acceptance ~0 (SURVEY.md §5.9b); scale "
+                "r_max by sqrt(n_agents) as params_from_cfg does"
+            )
+        length = np.sqrt(rng.uniform(0, r_max, size=(n_agents,)))
+        angle = np.pi * rng.uniform(0, 2, size=(n_agents,))
+        x[:, 0] = length * np.cos(angle)
+        x[:, 1] = length * np.sin(angle)
+        bias = rng.uniform(low=-v_bias, high=v_bias, size=(2,))
+        x[:, 2] = rng.uniform(low=-v_max, high=v_max, size=(n_agents,)) + bias[0]
+        x[:, 3] = rng.uniform(low=-v_max, high=v_max, size=(n_agents,)) + bias[1]
+
+        x_loc = np.reshape(x[:, 0:2], (n_agents, 2, 1))
+        a_net = np.sum(
+            np.square(
+                np.transpose(x_loc, (0, 2, 1)) - np.transpose(x_loc, (2, 0, 1))
+            ),
+            axis=2,
+        )
+        np.fill_diagonal(a_net, np.inf)
+        min_dist = np.sqrt(np.min(np.min(a_net)))
+        a_net = a_net < comm_radius2
+        degree = np.min(np.sum(a_net.astype(int), axis=1))
+    return x

@@ -383,6 +383,19 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
             state.x, params, centralized, self._obstacle_mask(params)
         )
 
+    def potential(self, state: FlockingState, params: FlockingParams) -> jax.Array:
+        """Total Turner potential (reference flocking_relative.py:228-232):
+        sum of 1/r^2 + log(r^2) with out-of-range pairs clamped to the value
+        at the communication radius and the diagonal zeroed."""
+        _, _, _, _, r2 = _pairwise_channels(state.x)
+        cr2 = params.comm_radius2
+        vr = 1.0 / cr2 + jnp.log(cr2)
+        p = 1.0 / r2 + jnp.log(r2)
+        p = jnp.where(r2 > cr2, vr, p)
+        n = params.n_agents
+        p = jnp.where(jnp.eye(n, dtype=bool), 0.0, p)
+        return jnp.sum(p)
+
     def get_stats(self, state: FlockingState) -> Dict[str, jax.Array]:
         """vel_diffs / min_dists (reference flocking_relative.py:136-143)."""
         v = state.x[:, 2:4]

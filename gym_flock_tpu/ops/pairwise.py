@@ -113,18 +113,13 @@ def radius_edges_masked(
     ``r <= rad`` by zeroing ``r > rad`` then taking nonzero — identical
     boundary semantics are preserved.
     """
-    same = pos2 is None
+    # NOTE: the reference's self_loops=True flag has no observable effect —
+    # np.nonzero drops r==0 entries (incl. the diagonal) either way
+    # (utils.py:18-24) — so the mask below is exact for both settings.
+    del self_loops
     diff = pos_diff(pos1, pos2)
     r = jnp.sqrt(diff[..., 0] ** 2 + diff[..., 1] ** 2)
     mask = (r <= rad) & (r > 0)
-    if same and self_loops:
-        # reference with self_loops=True keeps r==0 entries *off* the
-        # diagonal too (coincident points) — replicate exactly: nonzero(r)
-        # after zeroing r>rad, diagonal untouched.  r==0 entries are never
-        # kept by np.nonzero, including the diagonal.  So self_loops=True in
-        # the reference only matters for *off-diagonal* zero-distance pairs,
-        # which never occur on lattice maps; mask above is already correct.
-        pass
     return mask, jnp.where(mask, r, 0.0), diff, r
 
 
