@@ -494,13 +494,32 @@ def default_coverage_bank(
     motion_radius = res * 1.2
     min_graph_size = map_kwargs.pop("min_graph_size", 200 if kind == "occupancy" else 2)
 
+    full_map = map_kwargs.pop("full_map", False)
+
     specs = []
     if kind == "occupancy":
         all_targets = targets_from_occupancy(rng=rng, **map_kwargs)
+        from gym_flock_tpu.envs.coverage_graph import _largest_component
+
+        if full_map:
+            # num_subgraphs=1: the whole map is the one static graph
+            # (reference coverage_arl.py:83 returns graph_changed=False)
+            targets = _largest_component(all_targets, motion_radius)
+            if targets.shape[0] > max_targets:
+                raise ValueError(
+                    f"full map has {targets.shape[0]} targets > {max_targets}; "
+                    "raise max_nodes"
+                )
+            specs.append(
+                build_graph_spec(targets, max_targets, n_robots, motion_radius, horizon)
+            )
+            bank = build_graph_bank(specs)
+            _bank_cache[cache_key] = bank
+            return bank
+
         min_xy = all_targets.min(axis=0)
         max_xy = all_targets.max(axis=0)
         sub = (max_xy - min_xy) / 3.0  # num_subgraphs=3 (coverage_arl.py:18)
-        from gym_flock_tpu.envs.coverage_graph import _largest_component
 
         while len(specs) < n_graphs:
             start = rng.uniform(low=min_xy, high=max_xy - sub)
@@ -546,44 +565,51 @@ def coverage_factory(variant: str):
                 n_robots=6, max_nodes=500, episode_length=75, max_steps=75,
                 n_node_feat=3, hide_nodes=False, res=DELTA,
             )
-            bank_kind, horizon = "coverage", 10
+            bank_kind, horizon, peri = "coverage", 10, None
         elif variant == "arl":
             cfg = dict(
                 n_robots=4, max_nodes=1000, episode_length=50, max_steps=100000,
                 n_node_feat=3, hide_nodes=False, res=5.0,
             )
-            bank_kind, horizon = "occupancy", -1
+            bank_kind, horizon, peri = "occupancy", -1, 2.0
         elif variant == "full":
             cfg = dict(
                 n_robots=10, max_nodes=1500, episode_length=10000, max_steps=100000,
                 n_node_feat=3, hide_nodes=False, res=5.0,
             )
-            bank_kind, horizon = "occupancy", 19
+            bank_kind, horizon, peri = "occupancy", 19, 2.0
         elif variant == "explore":
             cfg = dict(
                 n_robots=4, max_nodes=1000, episode_length=50, max_steps=100000,
                 n_node_feat=4, hide_nodes=True, res=5.0,
             )
-            bank_kind, horizon = "occupancy", 19
+            bank_kind, horizon, peri = "occupancy", 19, 2.0
         elif variant == "explore_full":
             cfg = dict(
                 n_robots=100, max_nodes=1500, episode_length=50, max_steps=100000,
                 n_node_feat=4, hide_nodes=True, res=5.0,
             )
-            bank_kind, horizon = "occupancy", 19
+            # reference ExploreFull uses PERIMETER_DELTA=12.0
+            # (coverage_explore_full.py:4); with that delta nearly every free
+            # cell qualifies, so the procedural map is scaled down to keep
+            # the full-map target count near the reference's 1500-node budget
+            bank_kind, horizon, peri = "occupancy", 19, 12.0
         else:
             raise ValueError(variant)
         cfg.update(kwargs)
         bank = cfg.pop("bank", None)
         if bank is None:
             bank = default_coverage_bank(
-                n_graphs=n_graphs,
+                n_graphs=1 if variant in ("full", "explore_full") else n_graphs,
                 n_robots=cfg["n_robots"],
                 max_nodes=cfg["max_nodes"],
                 horizon=horizon,
                 seed=bank_seed,
                 kind=bank_kind,
                 res=cfg["res"],
+                full_map=variant in ("full", "explore_full"),
+                **({"perimeter_delta": peri} if peri is not None else {}),
+                **({"map_shape": (48, 42)} if variant == "explore_full" else {}),
             )
         params = CoverageParams(bank=bank, **cfg)
         return env, params

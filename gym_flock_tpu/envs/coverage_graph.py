@@ -186,6 +186,7 @@ def targets_from_occupancy(
     perimeter_delta: float = 2.0,
     rng: Optional[np.random.RandomState] = None,
     path: Optional[str] = None,
+    map_shape: Tuple[int, int] = (128, 110),
 ) -> np.ndarray:
     """Free cells adjacent to occupied perimeter -> world-frame targets.
 
@@ -199,7 +200,7 @@ def targets_from_occupancy(
         if path is not None:
             arr = np.load(path)
         else:
-            arr = generate_occupancy_map(rng or np.random.RandomState(0))
+            arr = generate_occupancy_map(rng or np.random.RandomState(0), shape=map_shape)
 
     xs, ys = np.meshgrid(np.arange(arr.shape[0]), np.arange(arr.shape[1]))
     xs, ys = xs.flatten(), ys.flatten()
@@ -479,3 +480,17 @@ def gen_sparse_grid(n_targets: int, x_max: float, y_max: float,
         targets |= set(zip(tx.flatten(), ty.flatten()))
     targets.add((x_max, y_max))
     return np.array(sorted(targets))
+
+
+def save_graph_bank(path: str, bank) -> None:
+    """Persist a device GraphBank to .npz (bank building can take tens of
+    seconds for occupancy maps — reference init alone is ~12 s, BASELINE.md)."""
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in bank.items()})
+
+
+def load_graph_bank(path: str):
+    """Load a GraphBank saved by :func:`save_graph_bank`."""
+    import jax.numpy as jnp
+
+    with np.load(path) as data:
+        return {k: jnp.asarray(data[k]) for k in data.files}

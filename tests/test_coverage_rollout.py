@@ -41,3 +41,42 @@ def test_coverage_expert_policy_through_rollout():
                       auto_reset=False)
     total = float(np.sum(np.asarray(traj.reward)))
     assert total > 20  # greedy expert makes steady coverage progress
+
+
+def test_full_variants_use_whole_map():
+    env, params = gft.make("CoverageFull-v0")
+    assert int(params.bank["n_targets"][0]) > 500  # full map, not a subwindow
+    state, obs = env.reset_env(jax.random.key(0), params)
+    u = env.controller(state, params, key=jax.random.key(1), greedy=True)
+    state, obs, r, d, _ = env.step_env(jax.random.key(2), state, u, params)
+    assert np.isfinite(float(r))
+
+
+def test_explore_full_100_robots():
+    env, params = gft.make("ExploreFullEnv-v0")
+    assert params.n_robots == 100 and params.hide_nodes
+    state, obs = env.reset_env(jax.random.key(0), params)
+    total = 0.0
+    key = jax.random.key(1)
+    for _ in range(5):
+        key, k1, k2 = jax.random.split(key, 3)
+        u = env.controller(state, params, key=k1, greedy=True)
+        state, obs, r, d, _ = env.step_env(k2, state, u, params)
+        total += float(r)
+    assert total > 0
+
+
+def test_bank_save_load_roundtrip(tmp_path):
+    from gym_flock_tpu.envs.coverage_graph import load_graph_bank, save_graph_bank
+    from gym_flock_tpu.envs.coverage import default_coverage_bank, CoverageParams, CoverageEnv
+
+    bank = default_coverage_bank(n_graphs=1, seed=3)
+    path = str(tmp_path / "bank.npz")
+    save_graph_bank(path, bank)
+    bank2 = load_graph_bank(path)
+    for k in bank:
+        np.testing.assert_array_equal(np.asarray(bank[k]), np.asarray(bank2[k]))
+    env = CoverageEnv()
+    params = CoverageParams(bank=bank2)
+    state, obs = env.reset_env(jax.random.key(0), params)
+    assert "nodes" in obs
