@@ -60,12 +60,7 @@ def _register_others():
     register("LQR-v0", lqr_factory, None)  # unregistered in reference (lqr.py:12)
 
 
-try:
-    _register_coverage()
-except ImportError:
-    pass
-
-try:
-    _register_others()
-except ImportError:
-    pass
+# all dependencies (scipy for map building) are declared requirements, so
+# failures here should surface, not be swallowed
+_register_coverage()
+_register_others()

@@ -102,6 +102,15 @@ class Env(Generic[TParams, TState]):
     def name(self) -> str:
         return type(self).__name__
 
+    # Envs are stateless function namespaces: hash/eq by type so every
+    # instance shares one jit cache (``reset``/``step``/``expert`` use
+    # ``static_argnums=(0,)``; identity hashing would recompile per instance).
+    def __hash__(self):
+        return hash(type(self))
+
+    def __eq__(self, other):
+        return type(self) is type(other)
+
     # ------------------------------------------------------- jitted wrappers
 
     @partial(jax.jit, static_argnums=(0,))

@@ -234,7 +234,6 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         coverage.py:234-364)."""
         R, T, A = params.n_robots, params.max_targets, params.n_actions
         E = params.max_edges
-        nA = params.n_action_edges
         g = state.graph
         mask = params.bank["target_mask"][g]
         n_targets = params.bank["n_targets"][g]
@@ -495,6 +494,8 @@ def default_coverage_bank(
     min_graph_size = map_kwargs.pop("min_graph_size", 200 if kind == "occupancy" else 2)
 
     full_map = map_kwargs.pop("full_map", False)
+    if full_map and kind != "occupancy":
+        raise ValueError("full_map=True is only meaningful for kind='occupancy'")
 
     specs = []
     if kind == "occupancy":
@@ -503,12 +504,13 @@ def default_coverage_bank(
 
         if full_map:
             # num_subgraphs=1: the whole map is the one static graph
-            # (reference coverage_arl.py:83 returns graph_changed=False)
+            # (reference coverage_arl.py:83 returns graph_changed=False);
+            # build_graph_spec validates the upper bound
             targets = _largest_component(all_targets, motion_radius)
-            if targets.shape[0] > max_targets:
+            if targets.shape[0] < min_graph_size:
                 raise ValueError(
-                    f"full map has {targets.shape[0]} targets > {max_targets}; "
-                    "raise max_nodes"
+                    f"full map's largest component has {targets.shape[0]} "
+                    f"targets < min_graph_size={min_graph_size}"
                 )
             specs.append(
                 build_graph_spec(targets, max_targets, n_robots, motion_radius, horizon)

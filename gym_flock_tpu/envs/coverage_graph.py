@@ -26,12 +26,9 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-try:
-    from scipy.spatial import Delaunay
-    from scipy.sparse import csr_matrix
-    from scipy.sparse.csgraph import connected_components
-except ImportError:  # pragma: no cover
-    Delaunay = None
+from scipy.spatial import Delaunay
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import connected_components
 
 __all__ = [
     "GraphSpec",
@@ -42,6 +39,8 @@ __all__ = [
     "build_graph_bank",
     "generate_occupancy_map",
     "targets_from_occupancy",
+    "save_graph_bank",
+    "load_graph_bank",
 ]
 
 # reference constants (coverage.py:54-80)
