@@ -11,3 +11,4 @@ from gym_flock_tpu.parallel.distributed import (
     global_env_mesh,
     host_fold,
 )
+from gym_flock_tpu.parallel.train_coverage import CoverageImitationTrainer

@@ -1,0 +1,158 @@
+"""Coverage imitation trainer: EdgeGraphNet policy cloned from the expert.
+
+The coverage analog of ``train.py``'s flocking trainer — and the workload of
+the reference's companion learning repo (reference README.md:29-30 points
+spatial-coverage learning at katetolstaya/graph_rl).  On-device pipeline:
+
+    greedy-expert rollouts (vmapped envs) -> (padded obs graphs, labels)
+    -> EdgeGraphNet message passing -> per-robot action logits
+    -> cross-entropy to the expert action -> optax update
+
+Action logits come straight from the observation's edge structure: the
+buffer tail's first ``R*A`` entries are exactly robot ``i``'s ``A`` motion
+candidates in action order (node->robot edges, see
+``CoverageEnv._obs_reward``), so a policy that scores edges yields the
+[R, A] action distribution by a static gather — no extra decoding.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams
+from gym_flock_tpu.models.gnn import EdgeGraphNet
+
+__all__ = ["CoverageImitationTrainer", "collect_coverage_batch", "action_edge_logits"]
+
+
+def action_edge_logits(edge_logits: jax.Array, params: CoverageParams) -> jax.Array:
+    """Gather per-robot action logits [R, A] from per-edge logits [E, 1].
+
+    Robot i's candidates sit at tail offset ``E - n_tail + i*A + a``
+    (the node->robot half of the bidirectional action edges).
+    """
+    E = params.max_edges
+    R, A = params.n_robots, params.n_actions
+    n_tail = params.n_action_edges + params.n_comm_edges
+    start = E - n_tail
+    idx = start + jnp.arange(R * A)
+    return edge_logits[idx, 0].reshape(R, A)
+
+
+def collect_coverage_batch(
+    env: CoverageEnv, params: CoverageParams, key: jax.Array, n_envs: int, n_steps: int
+):
+    """Greedy-expert rollouts keeping (obs graph, expert action) pairs.
+
+    Returns a dict of arrays with leading axis [n_envs * n_steps].
+    """
+
+    def one(key):
+        k_reset, k_scan = jax.random.split(key)
+        state, obs = env.reset_env(k_reset, params)
+
+        def body(carry, key_t):
+            state, obs = carry
+            k1, k2 = jax.random.split(key_t)
+            u = env.controller(state, params, key=k1, greedy=True)
+            state2, obs2, r, d, _ = env.step_env(k2, state, u, params)
+            sample = {
+                "nodes": obs["nodes"],
+                "edges": obs["edges"],
+                "senders": obs["senders"],
+                "receivers": obs["receivers"],
+                "label": u.reshape(-1),
+            }
+            return (state2, obs2), sample
+
+        _, traj = jax.lax.scan(body, (state, obs), jax.random.split(k_scan, n_steps))
+        return traj
+
+    keys = jax.random.split(key, n_envs)
+    traj = jax.vmap(one)(keys)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+
+
+class CoverageImitationTrainer:
+    """Behavior cloning of the greedy coverage expert into an EdgeGraphNet."""
+
+    def __init__(
+        self,
+        env: CoverageEnv,
+        env_params: CoverageParams,
+        model: Optional[EdgeGraphNet] = None,
+        learning_rate: float = 1e-3,
+    ):
+        self.env = env
+        self.env_params = env_params
+        self.model = model or EdgeGraphNet(latent=32, rounds=2)
+        self.tx = optax.adam(learning_rate)
+
+    def _graph(self, sample):
+        senders = sample["senders"]
+        mask = senders != -1
+        return {
+            "nodes": sample["nodes"],
+            "edges": sample["edges"],
+            "senders": jnp.where(mask, senders, 0),
+            "receivers": jnp.where(mask, sample["receivers"], 0),
+            "edge_mask": mask,
+        }
+
+    def init(self, key: jax.Array):
+        p = self.env_params
+        dummy = {
+            "nodes": jnp.zeros((p.max_nodes, p.n_node_feat)),
+            "edges": jnp.zeros((p.max_edges, p.n_edge_feat)),
+            "senders": jnp.zeros((p.max_edges,), jnp.int32),
+            "receivers": jnp.zeros((p.max_edges,), jnp.int32),
+            "edge_mask": jnp.zeros((p.max_edges,), bool),
+        }
+        params = self.model.init(key, dummy)
+        return params, self.tx.init(params)
+
+    def loss_fn(self, params, batch):
+        def one(sample):
+            g = self._graph(sample)
+            _, edge_logits = self.model.apply(params, g)
+            logits = action_edge_logits(edge_logits, self.env_params)  # [R, A]
+            labels = sample["label"]  # [R]
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            )
+
+        return jnp.mean(jax.vmap(one)(batch))
+
+    def accuracy(self, params, batch):
+        def one(sample):
+            g = self._graph(sample)
+            _, edge_logits = self.model.apply(params, g)
+            logits = action_edge_logits(edge_logits, self.env_params)
+            return jnp.mean(
+                (jnp.argmax(logits, axis=1) == sample["label"]).astype(jnp.float32)
+            )
+
+        return jnp.mean(jax.vmap(one)(batch))
+
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def train_step(self, carry, key, n_envs: int = 4, n_steps: int = 8):
+        params, opt_state = carry
+        batch = collect_coverage_batch(self.env, self.env_params, key, n_envs, n_steps)
+        loss, grads = jax.value_and_grad(self.loss_fn)(params, batch)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def fit(self, key: jax.Array, n_iters: int = 20, n_envs: int = 4, n_steps: int = 8):
+        k_init, key = jax.random.split(key)
+        carry = self.init(k_init)
+        losses = []
+        for _ in range(n_iters):
+            key, sub = jax.random.split(key)
+            carry, loss = self.train_step(carry, sub, n_envs, n_steps)
+            losses.append(float(loss))
+        return carry, losses

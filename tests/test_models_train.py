@@ -102,3 +102,35 @@ def test_host_fold_and_mesh_helpers():
     assert k.shape == ()
     mesh = global_env_mesh("env")
     assert mesh.axis_names == ("env",)
+
+
+def test_coverage_imitation_learns():
+    from gym_flock_tpu.parallel import CoverageImitationTrainer
+    from gym_flock_tpu.parallel.train_coverage import collect_coverage_batch
+
+    env, params = gft.make("Coverage-v0", n_graphs=1)
+    tr = CoverageImitationTrainer(env, params)
+    carry, losses = tr.fit(jax.random.key(0), n_iters=8, n_envs=2, n_steps=6)
+    assert losses[-1] < losses[0]
+    batch = collect_coverage_batch(env, params, jax.random.key(50), 2, 6)
+    acc = float(tr.accuracy(carry[0], batch))
+    assert acc > 0.3, acc  # well above the 0.25 random baseline
+
+
+def test_action_edge_logits_gather_layout():
+    """Robot i's A candidates must occupy tail slots i*A..(i+1)*A."""
+    from gym_flock_tpu.parallel.train_coverage import action_edge_logits
+
+    env, params = gft.make("Coverage-v0", n_graphs=1)
+    state, obs = env.reset_env(jax.random.key(0), params)
+    E = params.max_edges
+    n_tail = params.n_action_edges
+    # receivers of the first half of the tail are the robot indices in order
+    recv = np.asarray(obs["receivers"])[E - n_tail : E - n_tail + 24]
+    assert recv.tolist() == [i for i in range(6) for _ in range(4)]
+    # gather picks exactly those slots
+    fake = jnp.arange(E, dtype=jnp.float32).reshape(E, 1)
+    out = np.asarray(action_edge_logits(fake, params))
+    np.testing.assert_array_equal(
+        out.reshape(-1), np.arange(E - n_tail, E - n_tail + 24)
+    )
