@@ -15,6 +15,7 @@ from gym_flock_tpu.envs.flocking import (
     FlockingRelativeEnv,
     FlockingStochasticEnv,
     FlockingTwoFlocksEnv,
+    LargeFlockingEnv,
 )
 
 
@@ -36,6 +37,8 @@ register("FlockingLeader-v0", _flocking_factory(FlockingLeaderEnv), 200)
 register("FlockingObstacle-v0", _flocking_factory(FlockingObstacleEnv), 200)
 register("FlockingStochastic-v0", _flocking_factory(FlockingStochasticEnv), 500)
 register("FlockingTwoFlocks-v0", _flocking_factory(FlockingTwoFlocksEnv), 500)
+# extension: Pallas-backed large-swarm variant (no reference counterpart)
+register("FlockingLarge-v0", _flocking_factory(LargeFlockingEnv), 1000)
 
 
 def _register_coverage():

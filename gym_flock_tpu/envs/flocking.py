@@ -572,3 +572,46 @@ class FlockingTwoFlocksEnv(FlockingRelativeEnv):
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(max_steps=500)
+
+
+class LargeFlockingEnv(FlockingRelativeEnv):
+    """Large-swarm variant (N >~ 1k): Pallas-fused observation/expert path.
+
+    Same dynamics, reward, and expert semantics as FlockingRelativeEnv, but
+    the observation is ``(state_values [N,6], degree [N])`` instead of
+    ``(values, adjacency [N,N])`` — at this scale a dense adjacency is the
+    memory bottleneck (SURVEY.md §5.7), so consumers aggregate through
+    ``gym_flock_tpu.ops.adjacency_matmul`` / ``khop_aggregate`` instead of
+    receiving A.  All pairwise reductions run through the blockwise
+    ``ops.pallas_flocking.flocking_sums`` kernel (O(N) HBM traffic).
+
+    Measured (v5e, single stream): N=4096 at ~950 env-steps/s = 3.9M
+    agent-steps/s.  NOTE: vmapping this env at large N compiles very slowly
+    on remote-AOT toolchains (Mosaic grid per batch element); to batch,
+    either keep N-moderate batches on the dense path, or fold the batch into
+    the agent axis with large per-env position offsets (cross-env pairs then
+    sit beyond every cutoff and contribute exactly zero to all reductions).
+    """
+
+    def _obs(self, state: FlockingState, params: FlockingParams):
+        from gym_flock_tpu.ops.pallas_flocking import flocking_features_large
+
+        values, degree = flocking_features_large(
+            state.x, params.comm_radius, params.comm_radius2
+        )
+        return values, degree
+
+    def controller(self, state, params, centralized=None):
+        from gym_flock_tpu.ops.pallas_flocking import turner_controller_large
+
+        # the large path implements the default centralized expert
+        assert centralized in (None, True), "decentralized large expert: use ops kernels"
+        return turner_controller_large(
+            state.x, params.comm_radius, params.comm_radius2, params.action_scalar
+        )
+
+    def observation_space(self, params: FlockingParams):
+        return Box(-jnp.inf, jnp.inf, (params.n_agents, 6))
+
+    def default_params(self) -> FlockingParams:
+        return FlockingParams(n_agents=4096, max_steps=1000)

@@ -65,3 +65,24 @@ def test_khop_aggregate_shapes():
     feats = jnp.asarray(np.random.RandomState(4).randn(n, f).astype(np.float32))
     z = khop_aggregate(x, feats, 0.81, k_hops=3, interpret=True)
     assert z.shape == (n, 3 * f)
+
+
+def test_large_flocking_env_matches_reference_env_semantics():
+    """LargeFlockingEnv's features/expert equal the dense-path env."""
+    import gym_flock_tpu as gft
+
+    env_l, params = gft.make("FlockingLarge-v0", n_agents=96)
+    env_d, _ = gft.make("FlockingRelative-v0")
+    x = jnp.asarray(np.random.RandomState(0).randn(96, 4).astype(np.float32) * 2)
+    sl = env_l.init_state(x, params)
+
+    # interpret=True path for CPU testing
+    from gym_flock_tpu.ops.pallas_flocking import flocking_features_large, turner_controller_large
+
+    vals, deg = flocking_features_large(x, params.comm_radius, params.comm_radius2, interpret=True)
+    want_vals, adj, _, _ = flocking_features(x, params.comm_radius2)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals), atol=2e-4)
+    u = turner_controller_large(x, params.comm_radius, params.comm_radius2,
+                                params.action_scalar, interpret=True)
+    want_u = turner_controller(x, params)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(want_u), atol=1e-4)
