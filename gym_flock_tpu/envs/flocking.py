@@ -585,12 +585,13 @@ class LargeFlockingEnv(FlockingRelativeEnv):
     receiving A.  All pairwise reductions run through the blockwise
     ``ops.pallas_flocking.flocking_sums`` kernel (O(N) HBM traffic).
 
-    Measured (v5e, single stream): N=4096 at ~950 env-steps/s = 3.9M
-    agent-steps/s.  NOTE: vmapping this env at large N compiles very slowly
-    on remote-AOT toolchains (Mosaic grid per batch element); to batch,
-    either keep N-moderate batches on the dense path, or fold the batch into
-    the agent axis with large per-env position offsets (cross-env pairs then
-    sit beyond every cutoff and contribute exactly zero to all reductions).
+    Batching: the kernel carries a native batch grid dimension and a
+    ``custom_vmap`` rule, so ``jax.vmap`` over this env compiles ONCE for
+    any batch size (naively vmapping a pallas_call builds one Mosaic
+    program per lane and is pathologically slow to compile at large N).
+    Measured (v5e): N=4096 single stream ~950 env-steps/s; vmapped B=16
+    through the full env API ~1.15k env-steps/s = 4.7M agent-steps/s;
+    kernel-only B=32 loop 13.4M agent-steps/s.
     """
 
     def _obs(self, state: FlockingState, params: FlockingParams):

@@ -41,6 +41,7 @@ __all__ = [
     "flocking_sums",
     "turner_controller_large",
     "flocking_features_large",
+    "flocking_sums_batched",
     "adjacency_matmul",
     "khop_aggregate",
 ]
@@ -59,18 +60,19 @@ def _round_up(x, m):
 
 
 def _sums_kernel(scal, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref, *, bi, bj):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    # grid = (B, n_i, n_j): one batch element per leading grid index
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     comm_radius = scal[0]
     comm_radius2 = scal[1]
 
     row_ids = i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
     col_ids = j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
 
-    dx = px_c[:] - px_r[:]  # [bi,1] - [1,bj] -> [bi,bj]
-    dy = py_c[:] - py_r[:]
-    dvx = vx_c[:] - vx_r[:]
-    dvy = vy_c[:] - vy_r[:]
+    dx = px_c[0] - px_r[0]  # [bi,1] - [1,bj] -> [bi,bj]
+    dy = py_c[0] - py_r[0]
+    dvx = vx_c[0] - vx_r[0]
+    dvy = vy_c[0] - vy_r[0]
 
     r2 = dx * dx + dy * dy
     r2 = jnp.where(row_ids == col_ids, jnp.inf, r2)
@@ -96,7 +98,7 @@ def _sums_kernel(scal, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref, 
         axis=1,
     )  # [bi, 9]
     pad = jnp.zeros((bi, N_OUT - 9), dx.dtype)
-    block = jnp.concatenate([sums, pad], axis=1)
+    block = jnp.concatenate([sums, pad], axis=1)[None]
 
     @pl.when(j == 0)
     def _():
@@ -107,45 +109,87 @@ def _sums_kernel(scal, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref, 
         out_ref[:] = out_ref[:] + block
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flocking_sums(x: jax.Array, comm_radius, comm_radius2, interpret: bool = False):
-    """All per-agent pairwise reductions for flocking, one fused pass.
-
-    x: [N, 4] agent states.  Returns [N, 16] channel sums (layout above).
-    """
-    n = x.shape[0]
+def _flocking_sums_impl(x: jax.Array, comm_radius, comm_radius2, interpret: bool = False):
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    b, n, _ = x.shape
     dtype = x.dtype
     bi = min(256, _round_up(n, 8))
     bj = min(512, _round_up(n, 128))
     n_pad = _round_up(n, max(bi, bj))
 
     pad = n_pad - n
-    pad_pos = _PAD_POS * (1.0 + jnp.arange(pad, dtype=dtype))
-    px = jnp.concatenate([x[:, 0], pad_pos])
-    py = jnp.concatenate([x[:, 1], -pad_pos])
-    vx = jnp.concatenate([x[:, 2], jnp.zeros((pad,), dtype)])
-    vy = jnp.concatenate([x[:, 3], jnp.zeros((pad,), dtype)])
+    pad_pos = jnp.broadcast_to(
+        _PAD_POS * (1.0 + jnp.arange(pad, dtype=dtype)), (b, pad)
+    )
+    px = jnp.concatenate([x[:, :, 0], pad_pos], axis=1)
+    py = jnp.concatenate([x[:, :, 1], -pad_pos], axis=1)
+    zeros = jnp.zeros((b, pad), dtype)
+    vx = jnp.concatenate([x[:, :, 2], zeros], axis=1)
+    vy = jnp.concatenate([x[:, :, 3], zeros], axis=1)
 
-    cols = [v.reshape(n_pad, 1) for v in (px, py, vx, vy)]
-    rows = [v.reshape(1, n_pad) for v in (px, py, vx, vy)]
+    cols = [v.reshape(b, n_pad, 1) for v in (px, py, vx, vy)]
+    rows = [v.reshape(b, 1, n_pad) for v in (px, py, vx, vy)]
     scal = jnp.asarray([comm_radius, comm_radius2], dtype)
 
-    col_spec = pl.BlockSpec((bi, 1), lambda i, j, *_: (i, 0))
-    row_spec = pl.BlockSpec((1, bj), lambda i, j, *_: (0, j))
+    col_spec = pl.BlockSpec((1, bi, 1), lambda bb, i, j, *_: (bb, i, 0))
+    row_spec = pl.BlockSpec((1, 1, bj), lambda bb, i, j, *_: (bb, 0, j))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_pad // bi, n_pad // bj),
+        grid=(b, n_pad // bi, n_pad // bj),
         in_specs=[col_spec] * 4 + [row_spec] * 4,
-        out_specs=pl.BlockSpec((bi, N_OUT), lambda i, j, *_: (i, 0)),
+        out_specs=pl.BlockSpec((1, bi, N_OUT), lambda bb, i, j, *_: (bb, i, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_sums_kernel, bi=bi, bj=bj),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, N_OUT), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, N_OUT), dtype),
         interpret=interpret,
     )(scal, *cols, *rows)
-    return out[:n]
+    out = out[:, :n]
+    return out[0] if squeeze else out
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def _flocking_sums_vmappable(x, scal):
+    return _flocking_sums_impl(x, scal[0], scal[1])
+
+
+@_flocking_sums_vmappable.def_vmap
+def _flocking_sums_vmap_rule(axis_size, in_batched, x, scal):
+    # route vmap to the native batch grid dimension: one pallas_call, one
+    # compile — vmapping the pallas_call itself builds axis_size Mosaic
+    # programs and compiles pathologically at large N
+    x_b, scal_b = in_batched
+    assert not scal_b, "vmap over radii unsupported; close over them instead"
+    if x.ndim == 2 or not x_b:
+        out = _flocking_sums_impl(x, scal[0], scal[1])
+        return out, False
+    b = x.shape[0]
+    flat = x.reshape((b * x.shape[1],) + x.shape[2:]) if x.ndim > 3 else x
+    out = _flocking_sums_impl(flat, scal[0], scal[1])
+    return out, True
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flocking_sums(x: jax.Array, comm_radius, comm_radius2, interpret: bool = False):
+    """All per-agent pairwise reductions for flocking, one fused pass.
+
+    x: [N, 4] or [B, N, 4] agent states; returns [N, 16] / [B, N, 16]
+    channel sums (layout above).  The batch is a native leading grid
+    dimension of ONE pallas_call, and a ``custom_vmap`` rule routes
+    ``jax.vmap`` of the unbatched form to the same program — so vmapped
+    envs built on this kernel stay a single compile at any batch size.
+    ``interpret=True`` bypasses the custom-vmap wrapper (CPU testing).
+    """
+    if interpret:
+        return _flocking_sums_impl(x, comm_radius, comm_radius2, interpret=True)
+    scal = jnp.asarray(
+        [comm_radius, comm_radius2], jnp.result_type(x.dtype)
+    )
+    return _flocking_sums_vmappable(x, scal)
 
 
 def flocking_features_large(x: jax.Array, comm_radius, comm_radius2, interpret=False):
@@ -284,3 +328,12 @@ def khop_aggregate(
         z = adjacency_matmul(x, z, comm_radius2, mean_pool=mean_pool, interpret=interpret)
         zs.append(z)
     return jnp.concatenate(zs, axis=-1)
+
+
+def flocking_sums_batched(
+    xs: jax.Array, comm_radius, comm_radius2, interpret: bool = False
+):
+    """Batched :func:`flocking_sums` — the batch is a native grid dimension
+    (one compile for any B; see :func:`flocking_sums`).  Kept as an explicit
+    name; identical to calling ``flocking_sums`` with a [B, N, 4] input."""
+    return flocking_sums(xs, comm_radius, comm_radius2, interpret=interpret)
