@@ -224,21 +224,22 @@ def turner_controller_large(
 
 
 def _adj_matmul_kernel(scal, px_c, py_c, px_r, py_r, h_ref, out_ref, deg_ref, *, bi, bj, mean_pool):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    n_j = pl.num_programs(1)
+    # grid = (B, n_i, n_j)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
     cr2 = scal[0]
 
     row_ids = i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
     col_ids = j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
 
-    dx = px_c[:] - px_r[:]
-    dy = py_c[:] - py_r[:]
+    dx = px_c[0] - px_r[0]
+    dy = py_c[0] - py_r[0]
     r2 = dx * dx + dy * dy
     adj = ((r2 < cr2) & (row_ids != col_ids)).astype(jnp.float32)
 
-    part = jnp.dot(adj, h_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
-    dpart = jnp.sum(adj, axis=1, keepdims=True)
+    part = jnp.dot(adj, h_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32)[None]
+    dpart = jnp.sum(adj, axis=1, keepdims=True)[None]
 
     @pl.when(j == 0)
     def _():
@@ -259,6 +260,75 @@ def _adj_matmul_kernel(scal, px_c, py_c, px_r, py_r, h_ref, out_ref, deg_ref, *,
             out_ref[:] = out_ref[:] / deg
 
 
+def _adj_matmul_impl(x, h, comm_radius2, mean_pool=True, interpret=False):
+    squeeze = x.ndim == 2
+    if squeeze:
+        x, h = x[None], h[None]
+    b, n, _ = x.shape
+    f = h.shape[-1]
+    bi = min(256, _round_up(n, 8))
+    bj = min(512, _round_up(n, 128))
+    n_pad = _round_up(n, max(bi, bj))
+    pad = n_pad - n
+    ppos = jnp.broadcast_to(
+        _PAD_POS * (1.0 + jnp.arange(pad, dtype=x.dtype)), (b, pad)
+    )
+    px = jnp.concatenate([x[:, :, 0], ppos], axis=1)
+    py = jnp.concatenate([x[:, :, 1], -ppos], axis=1)
+    hp = jnp.concatenate([h, jnp.zeros((b, pad, f), h.dtype)], axis=1)
+    scal = jnp.asarray([comm_radius2], x.dtype)
+
+    col_spec = pl.BlockSpec((1, bi, 1), lambda bb, i, j, *_: (bb, i, 0))
+    row_spec = pl.BlockSpec((1, 1, bj), lambda bb, i, j, *_: (bb, 0, j))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_pad // bi, n_pad // bj),
+        in_specs=[col_spec, col_spec, row_spec, row_spec,
+                  pl.BlockSpec((1, bj, f), lambda bb, i, j, *_: (bb, j, 0))],
+        out_specs=(
+            pl.BlockSpec((1, bi, f), lambda bb, i, j, *_: (bb, i, 0)),
+            pl.BlockSpec((1, bi, 1), lambda bb, i, j, *_: (bb, i, 0)),
+        ),
+    )
+    out, _deg = pl.pallas_call(
+        functools.partial(_adj_matmul_kernel, bi=bi, bj=bj, mean_pool=mean_pool),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scal, px.reshape(b, -1, 1), py.reshape(b, -1, 1),
+      px.reshape(b, 1, -1), py.reshape(b, 1, -1), hp)
+    out = out[:, :n].astype(h.dtype)
+    return out[0] if squeeze else out
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def _adj_matmul_mean(x, h, scal):
+    return _adj_matmul_impl(x, h, scal[0], mean_pool=True)
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def _adj_matmul_sum(x, h, scal):
+    return _adj_matmul_impl(x, h, scal[0], mean_pool=False)
+
+
+def _adj_vmap_rule(mean_pool):
+    def rule(axis_size, in_batched, x, h, scal):
+        x_b, h_b, scal_b = in_batched
+        assert not scal_b, "vmap over the radius unsupported; close over it"
+        assert x_b and h_b, "x and h must batch together"
+        out = _adj_matmul_impl(x, h, scal[0], mean_pool=mean_pool)
+        return out, True
+
+    return rule
+
+
+_adj_matmul_mean.def_vmap(_adj_vmap_rule(True))
+_adj_matmul_sum.def_vmap(_adj_vmap_rule(False))
+
+
 @functools.partial(jax.jit, static_argnames=("mean_pool", "interpret"))
 def adjacency_matmul(
     x: jax.Array,
@@ -275,40 +345,16 @@ def adjacency_matmul(
     dense A is 1 GB per env instance; this kernel's footprint is O(N*F).
     With ``mean_pool`` rows are degree-normalized exactly like
     ``mean_pool_normalize`` (reference flocking_relative.py:120-122).
-    """
-    n, f = h.shape
-    bi = min(256, _round_up(n, 8))
-    bj = min(512, _round_up(n, 128))
-    n_pad = _round_up(n, max(bi, bj))
-    pad = n_pad - n
-    ppos = _PAD_POS * (1.0 + jnp.arange(pad, dtype=x.dtype))
-    px = jnp.concatenate([x[:, 0], ppos])
-    py = jnp.concatenate([x[:, 1], -ppos])
-    hp = jnp.concatenate([h, jnp.zeros((pad, f), h.dtype)])
-    scal = jnp.asarray([comm_radius2], x.dtype)
 
-    col_spec = pl.BlockSpec((bi, 1), lambda i, j, *_: (i, 0))
-    row_spec = pl.BlockSpec((1, bj), lambda i, j, *_: (0, j))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_pad // bi, n_pad // bj),
-        in_specs=[col_spec, col_spec, row_spec, row_spec,
-                  pl.BlockSpec((bj, f), lambda i, j, *_: (j, 0))],
-        out_specs=(
-            pl.BlockSpec((bi, f), lambda i, j, *_: (i, 0)),
-            pl.BlockSpec((bi, 1), lambda i, j, *_: (i, 0)),
-        ),
-    )
-    out, _deg = pl.pallas_call(
-        functools.partial(_adj_matmul_kernel, bi=bi, bj=bj, mean_pool=mean_pool),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-        ),
-        interpret=interpret,
-    )(scal, px.reshape(-1, 1), py.reshape(-1, 1), px.reshape(1, -1), py.reshape(1, -1), hp)
-    return out[:n].astype(h.dtype)
+    Accepts [N, *] or batched [B, N, *] inputs; the batch is a native grid
+    dimension and a ``custom_vmap`` rule routes ``jax.vmap`` to it (one
+    compile at any batch size).
+    """
+    if interpret:
+        return _adj_matmul_impl(x, h, comm_radius2, mean_pool=mean_pool, interpret=True)
+    scal = jnp.asarray([comm_radius2], jnp.result_type(x.dtype))
+    fn = _adj_matmul_mean if mean_pool else _adj_matmul_sum
+    return fn(x, h, scal)
 
 
 def khop_aggregate(
