@@ -217,3 +217,13 @@ def make_legacy(env_id: str, **kwargs) -> LegacyEnv:
 
     cls = _CoverageLegacyEnv if isinstance(env, CoverageEnv) else LegacyEnv
     return cls(env, params, env_id)
+
+
+def load_cfg_section(path: str, section: str = "flock"):
+    """Read a reference-style .cfg into a plain dict (the reference passes
+    ConfigParser sections to ``params_from_cfg``; flocking_relative.py:68)."""
+    import configparser
+
+    cfg = configparser.ConfigParser()
+    cfg.read(path)
+    return dict(cfg[section])

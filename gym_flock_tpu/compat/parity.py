@@ -78,3 +78,26 @@ def reference_flocking_reset(
         a_net = a_net < comm_radius2
         degree = np.min(np.sum(a_net.astype(int), axis=1))
     return x
+
+
+def reference_shepherding_reset(seed: int, n_agents: int = 30, r_max: float = None,
+                                goal_offset=None) -> np.ndarray:
+    """Replay the reference shepherding reset's exact draw sequence.
+
+    Unlike flocking, the shepherding reset draws from the *seeded*
+    ``self.np_random`` stream (reference shepherding.py:187-202), so a bare
+    seed fully determines the initial state: RandomState(seed), then
+    uniform lengths and uniform angles in that order.  Returns x [n, 3]
+    (theta column zero, as the reference leaves it).
+    """
+    if r_max is None:
+        r_max = 1.0 * np.sqrt(n_agents)
+    if goal_offset is None:
+        goal_offset = (-r_max * 3.0, 0.0)
+    rng = np.random.RandomState(seed)
+    x = np.zeros((n_agents, 3))
+    length = np.sqrt(rng.uniform(0, r_max, size=(n_agents,)))
+    angle = np.pi * rng.uniform(0, 2, size=(n_agents,))
+    x[:, 0] = length * np.cos(angle) + goal_offset[0]
+    x[:, 1] = length * np.sin(angle) + goal_offset[1]
+    return x

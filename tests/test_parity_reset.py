@@ -74,3 +74,46 @@ def test_potential_matches_reference():
     state = env.init_state(jnp.asarray(x0), params)
     got = float(env.potential(state, params))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_shepherding_reset_bit_identical_from_seed():
+    from gym_flock_tpu.compat.parity import reference_shepherding_reset
+
+    ref = make_reference_env("Shepherding-v0")
+    ref.seed(13)
+    ref.reset()
+    x0 = reference_shepherding_reset(13)
+    np.testing.assert_array_equal(x0, ref.x)
+
+    # full golden trajectory: expert drives both from the seed alone
+    import gym_flock_tpu as gft
+    env, params = gft.make("Shepherding-v0")
+    state = env.init_state(jnp.asarray(x0.copy()), params)
+    for t in range(20):
+        ref_u = ref.controller()
+        u = env.expert(state, params)
+        np.testing.assert_allclose(np.asarray(u), ref_u, atol=1e-9)
+        ref.step(ref_u)
+        state, _, _, _, _ = env.step_env(jax.random.key(0), state, u, params)
+        np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-9, err_msg=f"t={t}")
+
+
+def test_load_cfg_section():
+    import tempfile, os
+    from gym_flock_tpu.compat.gym_api import load_cfg_section
+    import gym_flock_tpu as gft
+    from gym_flock_tpu.compat import make_legacy
+
+    with tempfile.NamedTemporaryFile("w", suffix=".cfg", delete=False) as f:
+        f.write("[flock]\nn_agents = 24\ncomm_radius = 1.2\nv_max = 4.0\ndt = 0.02\n")
+        path = f.name
+    try:
+        section = load_cfg_section(path)
+        env = make_legacy("FlockingRelative-v0")
+        env.params_from_cfg(section)
+        assert env.params.n_agents == 24
+        assert env.params.comm_radius == 1.2
+        obs = env.reset()
+        assert obs[0].shape == (24, 6)
+    finally:
+        os.unlink(path)
