@@ -225,5 +225,7 @@ def load_cfg_section(path: str, section: str = "flock"):
     import configparser
 
     cfg = configparser.ConfigParser()
-    cfg.read(path)
+    read = cfg.read(path)
+    if not read:
+        raise FileNotFoundError(f"config file not found or unreadable: {path}")
     return dict(cfg[section])

@@ -22,7 +22,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["reference_flocking_reset"]
+__all__ = ["reference_flocking_reset", "reference_shepherding_reset", "gym011_np_random"]
 
 
 def reference_flocking_reset(
@@ -80,24 +80,61 @@ def reference_flocking_reset(
     return x
 
 
-def reference_shepherding_reset(seed: int, n_agents: int = 30, r_max: float = None,
-                                goal_offset=None) -> np.ndarray:
+def gym011_np_random(seed: int) -> np.random.RandomState:
+    """A RandomState seeded exactly as gym 0.11's ``seeding.np_random``.
+
+    gym 0.11 does NOT seed with the raw integer: it sha512-hashes
+    ``str(seed)``, takes the first 8 bytes as a little-endian bigint, and
+    seeds with that bigint split into uint32 limbs.  Replaying the real
+    reference's ``self.np_random`` stream requires the same pipeline.
+    """
+    import hashlib
+    import struct
+
+    digest = hashlib.sha512(str(seed).encode("utf8")).digest()[:8]
+    # _bigint_from_bytes: little-endian uint32 limbs -> bigint
+    padded = digest + b"\0" * ((4 - len(digest) % 4) % 4)
+    accum = 0
+    for i, val in enumerate(struct.unpack("%dI" % (len(padded) // 4), padded)):
+        accum += 2 ** (32 * i) * val
+    # _int_list_from_bigint
+    limbs = []
+    big = accum
+    while big > 0:
+        big, mod = divmod(big, 2**32)
+        limbs.append(mod)
+    rng = np.random.RandomState()
+    rng.seed(limbs if limbs else 0)
+    return rng
+
+
+def reference_shepherding_reset(
+    seed: int,
+    n_agents: int = 30,
+    r_max: float = None,
+    goal_offset=None,
+    prev_theta: np.ndarray = None,
+) -> np.ndarray:
     """Replay the reference shepherding reset's exact draw sequence.
 
     Unlike flocking, the shepherding reset draws from the *seeded*
-    ``self.np_random`` stream (reference shepherding.py:187-202), so a bare
-    seed fully determines the initial state: RandomState(seed), then
-    uniform lengths and uniform angles in that order.  Returns x [n, 3]
-    (theta column zero, as the reference leaves it).
+    ``self.np_random`` stream (reference shepherding.py:187-202) through
+    gym 0.11's hashed seeding (:func:`gym011_np_random`), so a bare seed
+    fully determines the fresh-env initial state: uniform lengths, then
+    uniform angles.  The reference's reset only overwrites x[:, 0:2] —
+    theta persists from any earlier episode — so pass ``prev_theta`` when
+    replaying a non-fresh env; a fresh env has theta = 0.
     """
     if r_max is None:
         r_max = 1.0 * np.sqrt(n_agents)
     if goal_offset is None:
         goal_offset = (-r_max * 3.0, 0.0)
-    rng = np.random.RandomState(seed)
+    rng = gym011_np_random(seed)
     x = np.zeros((n_agents, 3))
     length = np.sqrt(rng.uniform(0, r_max, size=(n_agents,)))
     angle = np.pi * rng.uniform(0, 2, size=(n_agents,))
     x[:, 0] = length * np.cos(angle) + goal_offset[0]
     x[:, 1] = length * np.sin(angle) + goal_offset[1]
+    if prev_theta is not None:
+        x[:, 2] = prev_theta
     return x

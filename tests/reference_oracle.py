@@ -86,7 +86,13 @@ def _install_gym_stub():
     seeding = types.ModuleType("gym.utils.seeding")
 
     def np_random(seed=None):
-        rng = np.random.RandomState(seed)
+        # faithful to gym 0.11: sha512-hashed seed (see compat.parity)
+        if seed is None:
+            rng = np.random.RandomState()
+        else:
+            from gym_flock_tpu.compat.parity import gym011_np_random
+
+            rng = gym011_np_random(seed)
         return rng, seed
 
     seeding.np_random = np_random
