@@ -129,6 +129,61 @@ def _safe_gather(vec: jax.Array, idx: jax.Array, fill=0.0) -> jax.Array:
     return jnp.where(idx >= 0, vec[safe], jnp.asarray(fill, vec.dtype))
 
 
+def _resolve_conflicts(cur: jax.Array, chosen: jax.Array, collision_checks: bool):
+    """Movement conflict resolution — the reference's two-pass sequential
+    procedure (coverage.py:186-201), evaluated as a vectorized fixed point.
+
+    Sequential semantics to preserve exactly: pass 1 lets every robot whose
+    choice is its current node claim it; pass 2 walks robots in index order —
+    robot i moves to ``chosen[i]`` unless that value already appears in the
+    (partially filled) result array, else it stays at ``cur[i]``.  Note the
+    quirks this implies, which the fixed point reproduces: a later robot's
+    pass-1 stay-claim blocks an earlier mover, and an early mover may take a
+    later robot's current node before that robot fails into it (both end on
+    the same node — allowed by the reference).
+
+    A robot i resolves in a round when no smaller-indexed robot is still
+    pending a claim that could affect ``chosen[i]``; each round resolves at
+    least the lowest pending index, so the loop terminates in <= R rounds
+    (typically 2-3).  This replaces an R-iteration sequential ``lax.scan`` —
+    at R=100 (ExploreFull) the scan's hundred dependent micro-kernels were
+    the step bottleneck.
+    """
+    if not collision_checks:
+        return chosen
+    R = cur.shape[0]
+    idx = jnp.arange(R)
+    next0 = jnp.where(chosen == cur, chosen, -1)
+
+    def cond(nl):
+        return jnp.any(nl == -1)
+
+    is_stay = next0 >= 0  # pass-1 claims, visible to every robot
+
+    def body(nl):
+        pending = nl == -1  # [R]
+        j_lt_i = idx[None, :] < idx[:, None]
+        # claims robot i would see at its sequential turn: all pass-1 stays
+        # plus results of smaller-indexed robots (a resolved j > i mover or
+        # failer is NOT visible to i — sequentially it was still -1)
+        visible = is_stay[None, :] | (j_lt_i & ~pending[None, :])
+        claimed = visible & (nl[None, :] == chosen[:, None])
+        definitely_taken = jnp.any(claimed, axis=1)
+        # potential future claims from still-pending smaller-indexed robots
+        maybe = (
+            j_lt_i
+            & pending[None, :]
+            & ((chosen[None, :] == chosen[:, None]) | (cur[None, :] == chosen[:, None]))
+        )
+        maybe_taken = jnp.any(maybe, axis=1)
+
+        resolve_now = pending & ~maybe_taken
+        outcome = jnp.where(definitely_taken, cur, chosen)
+        return jnp.where(resolve_now, outcome, nl)
+
+    return jax.lax.while_loop(cond, body, next0)
+
+
 class CoverageEnv(Env[CoverageParams, CoverageState]):
     """Graph-coverage MDP over a pre-built graph bank."""
 
@@ -199,26 +254,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         # bank[g] would stage the whole [T, A] table per env instance)
         chosen = params.bank["neighbor_table"][g, cur, action]  # [R]
 
-        # two-pass conflict resolution (reference coverage.py:186-201):
-        # pass 1 — robots staying in place claim their node first
-        next_locs = jnp.where(chosen == cur, chosen, -1)
-
-        # pass 2 — in robot-index order, move unless the node is claimed
-        def resolve(next_locs, i):
-            def unresolved(nl):
-                tgt = chosen[i]
-                if params.collision_checks:
-                    taken = jnp.any(nl == tgt)
-                else:
-                    taken = jnp.asarray(False)
-                return nl.at[i].set(jnp.where(taken, cur[i], tgt))
-
-            next_locs = jax.lax.cond(
-                next_locs[i] == -1, unresolved, lambda nl: nl, next_locs
-            )
-            return next_locs, None
-
-        next_locs, _ = jax.lax.scan(resolve, next_locs, jnp.arange(R))
+        next_locs = _resolve_conflicts(cur, chosen, params.collision_checks)
 
         state = state.replace(robot_loc=next_locs.astype(jnp.int32), last_loc=cur)
         key, k_obs = jax.random.split(key)

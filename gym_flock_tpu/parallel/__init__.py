@@ -12,3 +12,4 @@ from gym_flock_tpu.parallel.distributed import (
     host_fold,
 )
 from gym_flock_tpu.parallel.train_coverage import CoverageImitationTrainer
+from gym_flock_tpu.parallel.dagger import DaggerTrainer, DaggerState

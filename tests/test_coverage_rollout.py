@@ -80,3 +80,46 @@ def test_bank_save_load_roundtrip(tmp_path):
     params = CoverageParams(bank=bank2)
     state, obs = env.reset_env(jax.random.key(0), params)
     assert "nodes" in obs
+
+
+def _sequential_reference(cur, chosen, collision_checks=True):
+    """The reference's exact two-pass procedure (coverage.py:186-201), NumPy."""
+    R = len(cur)
+    nxt = [-1] * R
+    for i in range(R):
+        if chosen[i] == cur[i]:
+            nxt[i] = chosen[i]
+    for i in range(R):
+        if nxt[i] == -1:
+            if (not collision_checks) or (chosen[i] not in nxt):
+                nxt[i] = chosen[i]
+            else:
+                nxt[i] = cur[i]
+    return np.asarray(nxt)
+
+
+def test_parallel_conflict_resolution_fuzz():
+    """The fixed-point resolver must equal the sequential procedure on
+    thousands of adversarial cases (tiny node universes force collisions,
+    duplicate current positions are legal per the reference's own quirk)."""
+    import jax.numpy as jnp
+
+    from gym_flock_tpu.envs.coverage import _resolve_conflicts
+
+    rng = np.random.RandomState(0)
+    checked = 0
+    for R, n_nodes, trials in [(2, 2, 200), (3, 2, 300), (6, 3, 500),
+                               (6, 8, 300), (12, 4, 300), (100, 30, 50)]:
+        resolve = jax.jit(
+            lambda c, ch: _resolve_conflicts(c, ch, collision_checks=True)
+        )
+        for _ in range(trials):
+            cur = rng.randint(0, n_nodes, size=R)
+            chosen = rng.randint(0, n_nodes, size=R)
+            want = _sequential_reference(cur, chosen)
+            got = np.asarray(resolve(jnp.asarray(cur), jnp.asarray(chosen)))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"R={R} cur={cur} chosen={chosen}"
+            )
+            checked += 1
+    assert checked == 1650

@@ -134,3 +134,17 @@ def test_action_edge_logits_gather_layout():
     np.testing.assert_array_equal(
         out.reshape(-1), np.arange(E - n_tail, E - n_tail + 24)
     )
+
+
+def test_dagger_improves_closed_loop():
+    from gym_flock_tpu.parallel import DaggerTrainer
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=10)
+    tr = DaggerTrainer(env, params, capacity=1024, learning_rate=2e-3)
+    state, losses = tr.fit(jax.random.key(0), n_iters=6, n_envs=2, n_steps=8,
+                           n_grad_steps=4)
+    assert np.isfinite(losses).all()
+    r_learner = tr.evaluate(state.params, jax.random.key(5), n_envs=4, n_steps=30)
+    r_fresh = tr.evaluate(tr.init(jax.random.key(9)).params, jax.random.key(5),
+                          n_envs=4, n_steps=30)
+    assert r_learner > r_fresh, (r_learner, r_fresh)
