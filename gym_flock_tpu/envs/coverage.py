@@ -18,8 +18,8 @@ a TPU-shaped design and is kept; everything *around* it is re-architected:
   the reference's per-robot ``np.where`` scans over flat edge lists
   (coverage.py:206-232), making action-edge assembly a pure gather;
 * the order-dependent two-pass collision resolution (coverage.py:186-201)
-  is a ``lax.scan`` over the robot axis, preserving the reference's
-  lower-index-wins semantics exactly;
+  is a vectorized fixed point preserving the reference's sequential
+  lower-index-wins semantics exactly (see :func:`_resolve_conflicts`);
 * all-pairs hop costs / predecessors are precomputed per graph (exact
   emulation of coverage.py:621-653 on host), so the greedy expert
   (coverage.py:800-826) is pure gathers + masked argmin on device;
