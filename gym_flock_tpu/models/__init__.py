@@ -1,4 +1,5 @@
 from gym_flock_tpu.models.gnn import (
+    get_number_nodes,
     AggregationGNN,
     EdgeGraphNet,
     unpack_obs,

@@ -152,3 +152,14 @@ class EdgeGraphNet(nn.Module):
 
         edge_logits = _MLP((self.latent, 1))(e_feat)  # [E, 1]
         return h, edge_logits
+
+
+def get_number_nodes(flat_dim: int, n_node_feat: int = 3, n_edge_feat: int = 1,
+                     max_edges_per_node: int = 4, n_glob_feat: int = 1) -> int:
+    """Node count from a flattened-obs dimension (reference coverage.py:675-680).
+
+    Inverse of the flat layout: dim = n*(nf) + n*epn*(ef + 2) + glob.
+    """
+    return (flat_dim - n_glob_feat) // (
+        max_edges_per_node * (2 + n_edge_feat) + n_node_feat
+    )

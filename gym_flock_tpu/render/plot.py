@@ -196,3 +196,31 @@ def get_renderer(env_id: str, env, params):
     if isinstance(env, FlockingRelativeEnv):
         return FlockingRenderer(env, params)
     raise ValueError(f"No renderer for {env!r}")
+
+
+class FrameWriter:
+    """Headless frame-sequence capture around any renderer.
+
+    The reference renders interactively only; this writes numbered PNGs for
+    CI artifacts / videos:  ``FrameWriter(renderer, "/tmp/out")``, call
+    ``capture(state)`` per step, then e.g.
+    ``ffmpeg -i frame_%04d.png out.mp4``.
+    """
+
+    def __init__(self, renderer, out_dir: str, dpi: int = 80):
+        import os
+
+        self.renderer = renderer
+        self.out_dir = out_dir
+        self.dpi = dpi
+        self.count = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def capture(self, state) -> str:
+        import os
+
+        self.renderer.draw(state)
+        path = os.path.join(self.out_dir, f"frame_{self.count:04d}.png")
+        self.renderer.fig.savefig(path, dpi=self.dpi)
+        self.count += 1
+        return path

@@ -104,3 +104,21 @@ def test_formations_parity_with_reference():
     ra, rb = ref_two(30)
     np.testing.assert_allclose(a, ra)
     np.testing.assert_allclose(b, rb)
+
+
+def test_frame_writer(tmp_path):
+    import os
+    from gym_flock_tpu.render.plot import FrameWriter, get_renderer
+
+    env = make_legacy("FlockingRelative-v0", n_agents=10)
+    env.seed(0)
+    env.reset()
+    writer = FrameWriter(
+        get_renderer("FlockingRelative-v0", env.env, env.params), str(tmp_path)
+    )
+    for _ in range(3):
+        env.step(env.controller())
+        writer.capture(env.state)
+    frames = sorted(os.listdir(tmp_path))
+    assert frames == ["frame_0000.png", "frame_0001.png", "frame_0002.png"]
+    writer.renderer.close()

@@ -380,3 +380,43 @@ def test_comm_edges_parity(shared_graph):
             )
     finally:
         ref_mod.COMM_EDGES = old_flag
+
+
+@pytest.mark.parametrize("graph_seed", [23, 47])
+def test_parity_soak_additional_graphs(graph_seed):
+    """Random-walk + greedy parity on additional independent graphs."""
+    rng_g = np.random.RandomState(graph_seed)
+    while True:
+        targets = generate_coverage_targets(rng_g)
+        if 50 <= targets.shape[0] <= MAX_NODES - N_ROBOTS:
+            break
+    ref = make_reference_env("Coverage-v0").__class__(init_graph=False)
+    ref._initialize_graph(targets.copy())
+
+    spec = build_graph_spec(
+        targets, MAX_NODES - N_ROBOTS, N_ROBOTS, motion_radius=5.5 * 1.2, horizon=10
+    )
+    env = CoverageEnv()
+    params = CoverageParams(bank=build_graph_bank([spec]))
+
+    rng = np.random.RandomState(graph_seed + 1)
+    n_t = ref.n_targets
+    robot_loc = rng.choice(n_t, size=(N_ROBOTS,), replace=False)
+    unvisited = rng.choice(n_t, size=(n_t // 2,), replace=False)
+    state = _sync_states(ref, params, robot_loc, unvisited)
+    _ref_obs(ref)
+    _, _, _, state = env._obs_reward(state, params)
+
+    key = jax.random.key(0)
+    for t in range(12):
+        action = rng.randint(0, 4, size=(N_ROBOTS,))
+        ref_obs, ref_r, _, _ = ref.step(action.copy())
+        state, obs, r, _, _ = env.step_env(key, state, jnp.asarray(action), params)
+        assert float(r) == ref_r, f"seed {graph_seed} t={t}"
+        _check_obs(obs, ref_obs, ref.n_agents, f"seed {graph_seed} t={t}")
+    for t in range(12):
+        ref_u = ref.controller(greedy=True)
+        u = env.controller(state, params, greedy=True)
+        np.testing.assert_array_equal(np.asarray(u), ref_u)
+        ref.step(ref_u.copy())
+        state, _, r, _, _ = env.step_env(key, state, u, params)

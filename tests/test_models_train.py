@@ -148,3 +148,32 @@ def test_dagger_improves_closed_loop():
     r_fresh = tr.evaluate(tr.init(jax.random.key(9)).params, jax.random.key(5),
                           n_envs=4, n_steps=30)
     assert r_learner > r_fresh, (r_learner, r_fresh)
+
+
+def test_get_number_nodes_inverse_of_flatten():
+    from gym_flock_tpu.models import get_number_nodes
+
+    env, params = gft.make("Coverage-v0", n_graphs=1)
+    state, obs = env.reset_env(jax.random.key(0), params)
+    flat_dim = sum(int(np.prod(np.asarray(obs[k]).shape)) for k in
+                   ["nodes", "edges", "senders", "receivers", "step"])
+    assert get_number_nodes(flat_dim) == params.max_nodes
+
+
+def test_coverage_policy_generalizes_to_held_out_bank():
+    """Train on bank seed 0, evaluate expert-action accuracy on unseen
+    graphs from bank seed 1 — must stay well above random."""
+    from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams, default_coverage_bank
+    from gym_flock_tpu.parallel import CoverageImitationTrainer
+    from gym_flock_tpu.parallel.train_coverage import collect_coverage_batch
+
+    env = CoverageEnv()
+    train_params = CoverageParams(bank=default_coverage_bank(n_graphs=2, seed=0))
+    tr = CoverageImitationTrainer(env, train_params)
+    carry, _ = tr.fit(jax.random.key(0), n_iters=10, n_envs=2, n_steps=8)
+
+    held_out = CoverageParams(bank=default_coverage_bank(n_graphs=2, seed=1))
+    tr_eval = CoverageImitationTrainer(env, held_out)
+    batch = collect_coverage_batch(env, held_out, jax.random.key(77), 2, 8)
+    acc = float(tr_eval.accuracy(carry[0], batch))
+    assert acc > 0.35, acc  # random = 0.25
