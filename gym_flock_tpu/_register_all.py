@@ -63,7 +63,44 @@ def _register_others():
     register("LQR-v0", lqr_factory, None)  # unregistered in reference (lqr.py:12)
 
 
+def _airsim_factory(env_id):
+    def factory(client=None, settings_path=None, names=None, home=None, **kwargs):
+        """AirSim-bridged envs need a simulator client (reference gates these
+        ids on `import airsim`, gym_flock/__init__.py:97-112; here the client
+        is injected instead — see gym_flock_tpu.bridges)."""
+        if client is None:
+            raise ValueError(
+                f"{env_id} requires an AirSim-compatible client: "
+                f"make('{env_id}', client=..., settings_path=... | names=..., home=...). "
+                "See gym_flock_tpu.bridges.airsim_bridge."
+            )
+        from gym_flock_tpu.bridges.airsim_bridge import (
+            AirsimCoverageBridge,
+            AirsimFlockingBridge,
+        )
+
+        if env_id == "FlockingAirsimAccel-v0":
+            bridge = AirsimFlockingBridge(
+                client, settings_path=settings_path, names=names, home=home
+            )
+            return bridge, bridge.params
+        # MappingAirsim-v0: coverage graph MDP over AirSim drones.  (In the
+        # reference this registration names a nonexistent class — a latent
+        # bug, SURVEY.md §2.1; here it maps to the working coverage bridge.)
+        from gym_flock_tpu.compat.gym_api import make_legacy
+
+        legacy = make_legacy("Coverage-v0", **kwargs)
+        bridge = AirsimCoverageBridge(
+            client, legacy, settings_path=settings_path, names=names, home=home
+        )
+        return bridge, legacy.params
+
+    return factory
+
+
 # all dependencies (scipy for map building) are declared requirements, so
 # failures here should surface, not be swallowed
 _register_coverage()
 _register_others()
+register("FlockingAirsimAccel-v0", _airsim_factory("FlockingAirsimAccel-v0"), 200)
+register("MappingAirsim-v0", _airsim_factory("MappingAirsim-v0"), 100000)

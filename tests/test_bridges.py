@@ -135,3 +135,32 @@ def test_ros_driver_tick():
     for _, goal in sent:
         d = np.linalg.norm(pos - goal[:2], axis=1)
         assert d.min() < 1e-6
+
+
+def test_airsim_env_ids_registered():
+    import gym_flock_tpu as gft
+
+    with pytest.raises(ValueError, match="AirSim-compatible client"):
+        gft.make("FlockingAirsimAccel-v0")
+
+    # grid() formations need n >= 5 (reference settings.json ships 5 drones)
+    names = [f"D{i}" for i in range(5)]
+    bridge, params = gft.make(
+        "FlockingAirsimAccel-v0",
+        client=FakeMultirotorClient(names),
+        names=names,
+        home=np.zeros((5, 3)),
+    )
+    obs = bridge.reset(np.random.RandomState(0))
+    assert obs[0].shape == (5, 6)
+
+    names6 = [f"D{i}" for i in range(6)]
+    env2, _ = gft.make(
+        "MappingAirsim-v0",
+        client=FakeMultirotorClient(names6),
+        names=names6,
+        home=np.zeros((6, 3)),
+        n_graphs=1,
+    )
+    obs = env2.reset()
+    assert "nodes" in obs
