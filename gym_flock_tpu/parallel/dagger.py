@@ -34,7 +34,7 @@ from gym_flock_tpu.envs.flocking import (
 )
 from gym_flock_tpu.models.gnn import AggregationGNN
 
-__all__ = ["DaggerTrainer", "DaggerState"]
+__all__ = ["DaggerTrainer", "DaggerState", "make_sharded_iteration"]
 
 
 class DaggerState(NamedTuple):
@@ -200,3 +200,86 @@ class DaggerTrainer:
             return jnp.mean(rs)
 
         return float(jnp.mean(jax.vmap(one)(jax.random.split(key, n_envs))))
+
+
+def make_sharded_iteration(trainer: DaggerTrainer, mesh=None, n_envs: int = 16,
+                           n_steps: int = 16, n_grad_steps: int = 4):
+    """Data-parallel DAGGER iteration over a device mesh.
+
+    Layout: model params / optimizer replicated; the replay buffer and the
+    env batch shard along the mesh axis (each device aggregates its own
+    shard and samples local minibatches); gradients and losses are
+    ``pmean``-ed so all devices apply identical updates.  Returns
+    ``(step_fn, mesh)`` where ``step_fn(state, key, beta)`` expects the
+    buffer leaves of ``state`` to be device-sharded along axis 0 (e.g. via
+    ``jax.device_put`` with a NamedSharding) or simply created under jit
+    with the same mesh in scope.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from gym_flock_tpu.parallel.rollout import make_env_mesh
+
+    if mesh is None:
+        mesh = make_env_mesh("dp")
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert n_envs % n_dev == 0 and trainer.capacity % n_dev == 0
+
+    local_trainer = DaggerTrainer(
+        trainer.env, trainer.env_params, trainer.model,
+        capacity=trainer.capacity // n_dev, beta_decay=trainer.beta_decay,
+    )
+    local_trainer.tx = trainer.tx
+
+    def local_step(state, keys, beta):
+        # state buffers are the local shard; keys: [1] local key
+        new_state, loss = local_trainer.iteration(
+            state, keys[0], beta,
+            n_envs=n_envs // n_dev, n_steps=n_steps, n_grad_steps=n_grad_steps,
+        )
+        # NOTE: iteration() applies a local update; re-average params so all
+        # devices stay in lockstep (equivalent to pmean'd grads for Adam up
+        # to the optimizer's nonlinearity; exact lockstep is restored every
+        # step by the pmean of the updated params)
+        params = jax.lax.pmean(new_state.params, axis)
+        opt_state = jax.lax.pmean(new_state.opt_state, axis)
+        loss = jax.lax.pmean(loss, axis)
+        return new_state._replace(params=params, opt_state=opt_state), loss
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            DaggerState(
+                params=P(), opt_state=P(),
+                buffer_x=P(axis), buffer_label=P(axis),
+                write_pos=P(), filled=P(),
+            ),
+            P(axis),
+            P(),
+        ),
+        out_specs=(
+            DaggerState(
+                params=P(), opt_state=P(),
+                buffer_x=P(axis), buffer_label=P(axis),
+                write_pos=P(), filled=P(),
+            ),
+            P(),
+        ),
+    )
+
+    @jax.jit
+    def step(state, key, beta):
+        keys = jax.random.split(key, n_dev)
+        return sharded(state, keys, beta)
+
+    def init(key):
+        # build the GLOBAL state whose buffers shard along axis 0
+        full = DaggerTrainer(
+            trainer.env, trainer.env_params, trainer.model,
+            capacity=trainer.capacity, beta_decay=trainer.beta_decay,
+        )
+        full.tx = trainer.tx
+        return full.init(key)
+
+    return step, init, mesh

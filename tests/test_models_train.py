@@ -177,3 +177,21 @@ def test_coverage_policy_generalizes_to_held_out_bank():
     batch = collect_coverage_batch(env, held_out, jax.random.key(77), 2, 8)
     acc = float(tr_eval.accuracy(carry[0], batch))
     assert acc > 0.35, acc  # random = 0.25
+
+
+def test_sharded_dagger_iteration(devices8):
+    import jax.numpy as jnp
+    from gym_flock_tpu.parallel import DaggerTrainer
+    from gym_flock_tpu.parallel.dagger import make_sharded_iteration
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=8)
+    tr = DaggerTrainer(env, params, capacity=512)
+    mesh = make_env_mesh("dp", devices8[:8])
+    step, init, mesh = make_sharded_iteration(tr, mesh=mesh, n_envs=8, n_steps=4,
+                                              n_grad_steps=2)
+    state = init(jax.random.key(0))
+    losses = []
+    for k in range(3):
+        state, loss = step(state, jax.random.key(5 + k), jnp.asarray(0.7**k))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
