@@ -203,10 +203,12 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 
         # start region: full BFS levels around a random center until
         # >= n_robots * nearby_density nodes (reference get_n_nearest,
-        # coverage.py:655-673, via the precomputed hop-cost matrix)
+        # coverage.py:655-673).  Uses the UNCAPPED hop matrix: graph_cost
+        # saturates at the horizon and would degenerate the region to the
+        # whole map whenever the wanted count exceeds the horizon ball.
         if params.nearby_starts:
             center = jax.random.randint(k_center, (), 0, n_targets)
-            d = params.bank["graph_cost"][g, center]  # [T]
+            d = params.bank["graph_hops"][g, center]  # [T]
             d = jnp.where(mask, d, jnp.inf)
             want = jnp.minimum(R * params.nearby_density, n_targets)
             d_sorted = jnp.sort(d)
@@ -650,6 +652,18 @@ def coverage_factory(variant: str):
                 **({"map_shape": (48, 42)} if variant == "explore_full" else {}),
             )
         params = CoverageParams(bank=bank, **cfg)
+        if params.comm_edges:
+            # the comm slots shrink the motion-edge region beyond what
+            # build_graph_spec validated (the reference instead asserts
+            # 'Increase MAX_EDGES' at runtime, coverage.py:288)
+            max_motion = int(np.max(np.asarray(bank["n_motion_edges"])))
+            room = params.max_edges - params.n_action_edges - params.n_comm_edges
+            if max_motion > room:
+                raise ValueError(
+                    f"comm_edges=True reserves {params.n_comm_edges} tail slots "
+                    f"but a bank graph has {max_motion} motion edges > {room}; "
+                    "raise max_nodes"
+                )
         return env, params
 
     return factory

@@ -249,6 +249,10 @@ class GraphSpec:
     # all-pairs hop costs and predecessors (coverage.py:621-653)
     graph_cost: np.ndarray  # [max_targets, max_targets] float32, MAX_COST-filled
     graph_prev: np.ndarray  # [max_targets, max_targets] int32, -1-filled
+    # UNCAPPED hop distances (inf = unreachable): the reference's
+    # get_n_nearest BFS (coverage.py:655-673) has no horizon, so start-region
+    # levels must not saturate at the horizon like graph_cost does
+    graph_hops: np.ndarray  # [max_targets, max_targets] float32
 
 
 def construct_time_matrix(
@@ -361,6 +365,15 @@ def build_graph_spec(
     graph_prev = np.full((max_targets, max_targets), -1, dtype=np.int64)
     graph_prev[:n_targets, :n_targets] = prev
 
+    from scipy.sparse.csgraph import shortest_path
+
+    adj_sp = csr_matrix(
+        (np.ones(n_motion), (s_idx, r_idx)), shape=(n_targets, n_targets)
+    )
+    hops = shortest_path(adj_sp, method="D", unweighted=True)
+    graph_hops = np.full((max_targets, max_targets), np.inf, dtype=np.float64)
+    graph_hops[:n_targets, :n_targets] = hops
+
     target_pos = np.zeros((max_targets, 2))
     target_pos[:n_targets] = targets
     target_mask = np.zeros((max_targets,), dtype=bool)
@@ -378,6 +391,7 @@ def build_graph_spec(
         n_motion_edges=n_motion,
         graph_cost=graph_cost.astype(np.float32),
         graph_prev=graph_prev.astype(np.int32),
+        graph_hops=graph_hops.astype(np.float32),
     )
 
 
@@ -403,6 +417,7 @@ def build_graph_bank(specs: List[GraphSpec]):
         ),
         "graph_cost": stack("graph_cost"),
         "graph_prev": stack("graph_prev"),
+        "graph_hops": stack("graph_hops"),
     }
 
 

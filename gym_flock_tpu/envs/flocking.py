@@ -453,7 +453,7 @@ class FlockingLeaderEnv(FlockingRelativeEnv):
 
     def reset_env(self, key, params):
         key, sub = jax.random.split(key)
-        state, _ = super().reset_env(key, params)
+        state, obs = super().reset_env(key, params)
         lead_v = jax.random.uniform(
             sub, (1, 1), minval=-params.v_max, maxval=params.v_max
         )
@@ -461,7 +461,9 @@ class FlockingLeaderEnv(FlockingRelativeEnv):
             jnp.ones((params.n_leaders, 2)) * lead_v
         )
         state = state.replace(x=x)
-        return state, self._obs(state, params)
+        # the reference overrides leader velocities AFTER compute_helpers and
+        # returns the stale pre-override observation (flocking_leader.py:36-40)
+        return state, obs
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(max_steps=200)
@@ -469,14 +471,9 @@ class FlockingLeaderEnv(FlockingRelativeEnv):
 
 def _grid_formation(n: int, side: int = 5, dtype=None) -> jax.Array:
     """0.8-spaced centered grid (reference flocking/utils.py:23-30)."""
-    import numpy as np
+    from gym_flock_tpu.utils.formations import grid as _np_grid
 
-    side2 = int(n / side)
-    xs = np.arange(0, side) - side / 2.0
-    ys = np.arange(0, side2) - side2 / 2.0
-    xs, ys = np.meshgrid(xs, ys)
-    out = 0.8 * np.stack((xs.reshape(n), ys.reshape(n)), axis=1)
-    return jnp.asarray(out, dtype=dtype or jnp.zeros(0).dtype)
+    return jnp.asarray(_np_grid(n, side), dtype=dtype or jnp.zeros(0).dtype)
 
 
 class FlockingObstacleEnv(FlockingRelativeEnv):

@@ -76,7 +76,12 @@ def build_lqr_system(key: jax.Array, params: LQRParams) -> LQRSystem:
     _, idx = jax.lax.top_k(-d2_inf, params.degree)
     knn = jnp.zeros((n, n)).at[jnp.arange(n)[:, None], idx].set(1.0)
     a_net = a_sys * knn
-    a_net = a_net / jnp.max(jnp.abs(jnp.linalg.eigvals(a_net)).real)
+    # nonsymmetric eigvals are CPU-only in JAX; spectral-radius normalization
+    # is setup-time math, so do it host-side
+    import numpy as _np
+
+    rho = float(_np.max(_np.abs(_np.linalg.eigvals(_np.asarray(a_net)))))
+    a_net = a_net / rho
 
     a_expm = jax.scipy.linalg.expm(params.dt * a_sys)
     eye = jnp.eye(n)

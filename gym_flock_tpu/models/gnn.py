@@ -55,8 +55,10 @@ def unpack_obs(
     B = obs.shape[0]
     n = n_nodes
     e = n * max_edges_per_node
+    import numpy as _np
+
     sizes = [n * n_node_feat, e * n_edge_feat, e, e, n_glob_feat]
-    offsets = jnp.cumsum(jnp.asarray([0] + sizes))
+    offsets = _np.cumsum([0] + sizes)  # static: slicing must not trace
     nodes = obs[:, offsets[0] : offsets[1]].reshape(B, n, n_node_feat)
     edges = obs[:, offsets[1] : offsets[2]].reshape(B, e, n_edge_feat)
     senders = obs[:, offsets[2] : offsets[3]].reshape(B, e).astype(jnp.int32)

@@ -115,9 +115,13 @@ def _flocking_sums_impl(x: jax.Array, comm_radius, comm_radius2, interpret: bool
         x = x[None]
     b, n, _ = x.shape
     dtype = x.dtype
-    bi = min(256, _round_up(n, 8))
+    # bi must divide n_pad: bj is a multiple of 128 and bi == 128, so padding
+    # to a multiple of bj guarantees full row coverage (a 257..384-agent
+    # swarm once fell through: n_pad wasn't a multiple of bi and the last
+    # row block was never written)
     bj = min(512, _round_up(n, 128))
-    n_pad = _round_up(n, max(bi, bj))
+    bi = 128
+    n_pad = _round_up(n, bj)
 
     pad = n_pad - n
     pad_pos = jnp.broadcast_to(
@@ -167,9 +171,14 @@ def _flocking_sums_vmap_rule(axis_size, in_batched, x, scal):
     if x.ndim == 2 or not x_b:
         out = _flocking_sums_impl(x, scal[0], scal[1])
         return out, False
-    b = x.shape[0]
-    flat = x.reshape((b * x.shape[1],) + x.shape[2:]) if x.ndim > 3 else x
-    out = _flocking_sums_impl(flat, scal[0], scal[1])
+    if x.ndim > 3:
+        # vmap over an already-batched call: fold, compute, unfold so the
+        # leading axis stays the vmapped axis_size
+        lead = x.shape[:-2]
+        flat = x.reshape((-1,) + x.shape[-2:])
+        out = _flocking_sums_impl(flat, scal[0], scal[1])
+        return out.reshape(lead + out.shape[1:]), True
+    out = _flocking_sums_impl(x, scal[0], scal[1])
     return out, True
 
 
@@ -266,9 +275,10 @@ def _adj_matmul_impl(x, h, comm_radius2, mean_pool=True, interpret=False):
         x, h = x[None], h[None]
     b, n, _ = x.shape
     f = h.shape[-1]
-    bi = min(256, _round_up(n, 8))
+    # see flocking_sums: bi divides n_pad by construction
     bj = min(512, _round_up(n, 128))
-    n_pad = _round_up(n, max(bi, bj))
+    bi = 128
+    n_pad = _round_up(n, bj)
     pad = n_pad - n
     ppos = jnp.broadcast_to(
         _PAD_POS * (1.0 + jnp.arange(pad, dtype=x.dtype)), (b, pad)

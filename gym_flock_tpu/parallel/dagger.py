@@ -242,7 +242,14 @@ def make_sharded_iteration(trainer: DaggerTrainer, mesh=None, n_envs: int = 16,
         # to the optimizer's nonlinearity; exact lockstep is restored every
         # step by the pmean of the updated params)
         params = jax.lax.pmean(new_state.params, axis)
-        opt_state = jax.lax.pmean(new_state.opt_state, axis)
+        # pmean on int32 demotes to float32 (e.g. Adam's step count); int
+        # leaves are identical across devices anyway, so only average floats
+        opt_state = jax.tree.map(
+            lambda a: jax.lax.pmean(a, axis)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            new_state.opt_state,
+        )
         loss = jax.lax.pmean(loss, axis)
         return new_state._replace(params=params, opt_state=opt_state), loss
 

@@ -23,6 +23,13 @@ __all__ = ["rollout", "batch_rollout", "sharded_rollout", "make_env_mesh"]
 def _resolve_policy(env: Env, policy):
     """policy: 'expert' | 'random' | callable(key, state, obs, params) -> action."""
     if policy == "expert":
+        import inspect
+
+        takes_key = "key" in inspect.signature(env.controller).parameters
+        if takes_key:
+            return lambda key, state, obs, params: env.controller(
+                state, params, key=key
+            )
         return lambda key, state, obs, params: env.controller(state, params)
     if policy == "random":
         space = None

@@ -123,3 +123,28 @@ def test_parallel_conflict_resolution_fuzz():
             )
             checked += 1
     assert checked == 1650
+
+
+def test_expert_policy_string_passes_key():
+    """policy='expert' must thread the per-step key into coverage's
+    controller (the random fallback for unreachable targets)."""
+    env, params = gft.make("Coverage-v0", n_graphs=1)
+    _, traj = rollout(env, params, jax.random.key(4), n_steps=30, policy="expert")
+    assert np.isfinite(np.asarray(traj.reward)).all()
+    # greedy expert makes progress (key pass-through didn't break routing)
+    assert float(np.sum(np.asarray(traj.reward))) > 5
+
+
+def test_nearby_starts_region_is_local_despite_horizon():
+    """Start regions use uncapped BFS hops: with a horizon-capped cost
+    matrix the region must still be a local cluster, not the whole map."""
+    env, params = gft.make("Coverage-v0", n_graphs=1)  # horizon=10
+    g = 0
+    hops = np.asarray(params.bank["graph_hops"][g])
+    n_t = int(params.bank["n_targets"][g])
+    state, _ = env.reset_env(jax.random.key(7), params)
+    locs = np.asarray(state.robot_loc)
+    # all six robots within a small hop radius of each other
+    pair_hops = hops[np.ix_(locs, locs)]
+    assert np.isfinite(pair_hops).all()
+    assert pair_hops.max() <= 20, pair_hops.max()

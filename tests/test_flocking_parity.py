@@ -213,3 +213,13 @@ def test_stochastic_step_matches_reference_given_same_dt():
     p2 = params.replace(dt_mean=float(realized_dt), dt_sigma=0.0)
     state, _, _, _, _ = env.step_env(jax.random.key(0), state, jnp.asarray(u), p2)
     np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=ATOL)
+
+
+def test_leader_reset_obs_is_stale_pre_override():
+    """The reference returns the observation computed BEFORE the leader
+    velocity override (flocking_leader.py:36-40); ours must too."""
+    env, params = gft.make("FlockingLeader-v0", n_agents=20)
+    state, (values, net) = env.reset_env(jax.random.key(3), params)
+    # recomputing from the post-override state must differ in the dvx sums
+    fresh_values, _ = env._obs(state, params)
+    assert not np.allclose(np.asarray(values), np.asarray(fresh_values))

@@ -195,3 +195,14 @@ def test_sharded_dagger_iteration(devices8):
         state, loss = step(state, jax.random.key(5 + k), jnp.asarray(0.7**k))
         losses.append(float(loss))
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_unpack_obs_works_under_jit():
+    env, params = gft.make("Coverage-v0", n_graphs=1)
+    state, obs = env.reset_env(jax.random.key(0), params)
+    flat = jnp.concatenate(
+        [jnp.asarray(obs[k], jnp.float32).ravel() for k in
+         ["nodes", "edges", "senders", "receivers", "step"]]
+    )[None, :]
+    g = jax.jit(lambda o: unpack_obs(o, n_nodes=500))(flat)
+    assert g["nodes"].shape == (1, 500, 3)

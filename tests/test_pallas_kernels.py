@@ -121,3 +121,23 @@ def test_flocking_sums_vmap_routes_to_native_batch():
         pytest.skip("compiled pallas unavailable on CPU")
     err = np.abs(np.asarray(got) - np.asarray(want)) / (1.0 + np.abs(np.asarray(want)))
     assert err.max() < 1e-4
+
+
+@pytest.mark.parametrize("n", [300, 260, 383])
+def test_flocking_sums_row_coverage_regression(n):
+    """257 <= N <= 384 once under-tiled the row grid, leaving NaN rows."""
+    x = jnp.asarray(np.random.RandomState(0).randn(n, 4).astype(np.float32) * 2)
+    s = flocking_sums(x, 0.9, 0.81, interpret=True)
+    assert bool(jnp.isfinite(s).all()), "uninitialized output rows"
+    values, adj, _, _ = flocking_features(x, 0.81)
+    scale = 1.0 + jnp.abs(values)
+    assert float(jnp.max(jnp.abs(s[:, :6] - values) / scale)) < 1e-4
+
+
+def test_adjacency_matmul_row_coverage_regression():
+    n, f = 300, 16
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(n, 4).astype(np.float32) * 2)
+    h = jnp.asarray(rng.randn(n, f).astype(np.float32))
+    out = adjacency_matmul(x, h, 0.81, interpret=True)
+    assert bool(jnp.isfinite(out).all())
