@@ -495,6 +495,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 # =============================================================================
 
 _bank_cache: Dict[tuple, Any] = {}
+_BANK_FORMAT = 2  # bump when GraphSpec/bank fields change
 
 
 def default_coverage_bank(
@@ -517,6 +518,30 @@ def default_coverage_bank(
     cache_key = (n_graphs, n_robots, max_nodes, horizon, seed, kind, tuple(sorted(map_kwargs.items())))
     if cache_key in _bank_cache:
         return _bank_cache[cache_key]
+
+    # disk cache: occupancy banks take ~15s to build (map load alone is ~12s
+    # in the reference, BASELINE.md); cache under ~/.cache keyed by config +
+    # a format version (bump _BANK_FORMAT when GraphSpec fields change)
+    import hashlib
+    import os
+    from pathlib import Path
+
+    from gym_flock_tpu.envs.coverage_graph import load_graph_bank, save_graph_bank
+
+    cache_dir = Path(
+        os.environ.get(
+            "GYM_FLOCK_TPU_CACHE", Path.home() / ".cache" / "gym_flock_tpu"
+        )
+    )
+    digest = hashlib.sha1(repr((_BANK_FORMAT,) + cache_key).encode()).hexdigest()[:16]
+    cache_path = cache_dir / f"bank_{digest}.npz"
+    if cache_path.exists():
+        try:
+            bank = load_graph_bank(str(cache_path))
+            _bank_cache[cache_key] = bank
+            return bank
+        except Exception:
+            pass  # corrupt/stale cache: rebuild
 
     from gym_flock_tpu.envs.coverage_graph import (
         build_graph_bank,
@@ -555,6 +580,11 @@ def default_coverage_bank(
             )
             bank = build_graph_bank(specs)
             _bank_cache[cache_key] = bank
+            try:
+                cache_dir.mkdir(parents=True, exist_ok=True)
+                save_graph_bank(str(cache_path), bank)
+            except OSError:
+                pass
             return bank
 
         min_xy = all_targets.min(axis=0)
@@ -585,6 +615,11 @@ def default_coverage_bank(
 
     bank = build_graph_bank(specs)
     _bank_cache[cache_key] = bank
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        save_graph_bank(str(cache_path), bank)
+    except OSError:
+        pass  # read-only filesystem: in-memory cache only
     return bank
 
 

@@ -26,7 +26,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from scipy.spatial import Delaunay
+from scipy.spatial import Delaunay  # noqa: F401 (cKDTree imported lazily)
 from scipy.sparse import csr_matrix
 from scipy.sparse.csgraph import connected_components
 
@@ -206,8 +206,13 @@ def targets_from_occupancy(
     occ_flags = arr[xs, ys]
     vertices = np.stack((xs[~occ_flags], ys[~occ_flags]), axis=1).astype(float)
     vertices_occ = np.stack((xs[occ_flags], ys[occ_flags]), axis=1).astype(float)
-    d = np.linalg.norm(vertices[:, None, :] - vertices_occ[None, :, :], axis=2)
-    flag = np.min(d, axis=1) <= perimeter_delta
+    # nearest-occupied-cell distance via KD-tree: the reference's dense
+    # free x occupied matrix (make_map.py:259) is O(n^2) and takes minutes
+    # on full maps (its ~12 s load in BASELINE.md is the same computation)
+    from scipy.spatial import cKDTree
+
+    dmin, _ = cKDTree(vertices_occ).query(vertices, k=1)
+    flag = dmin <= perimeter_delta
     targets = vertices[flag, :]
 
     xyz_min = np.array([[-321.0539855957031, -276.5395050048828]])
