@@ -230,16 +230,21 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         rank = jnp.argsort(jnp.argsort(scores))  # rank of each target
         visited = jnp.where(rank < k_active, 0.0, 1.0)
 
-        discovered = jnp.zeros((T,), dtype=jnp.float32)
+        # tie constant-initialized leaves to the (key-derived) graph index so
+        # every state leaf has consistent device-varying type under shard_map
+        # (a scan carrying reset-state into step-state otherwise mixes
+        # unvarying and varying leaves and fails to type-check)
+        vzero = (g * 0).astype(jnp.int32)
+        discovered = visited * 0.0
 
         state = CoverageState(
-            time=jnp.int32(0),
+            time=vzero,
             graph=g,
             robot_loc=robot_loc,
             visited=visited,
             discovered=discovered,
-            episode_reward=jnp.float32(0.0),
-            last_loc=jnp.full((R,), -1, dtype=jnp.int32),  # None in reference
+            episode_reward=vzero.astype(jnp.float32),
+            last_loc=jnp.full((R,), -1, dtype=jnp.int32) + vzero,  # None in ref
         )
         obs, _, _, state = self._obs_reward(state, params)
         return state, obs

@@ -206,3 +206,16 @@ def test_unpack_obs_works_under_jit():
     )[None, :]
     g = jax.jit(lambda o: unpack_obs(o, n_nodes=500))(flat)
     assert g["nodes"].shape == (1, 500, 3)
+
+
+def test_sharded_coverage_train_step(devices8):
+    from gym_flock_tpu.parallel import CoverageImitationTrainer
+    from gym_flock_tpu.parallel.train_coverage import make_sharded_train_step
+
+    env, params = gft.make("Coverage-v0", n_graphs=1)
+    tr = CoverageImitationTrainer(env, params)
+    mesh = make_env_mesh("dp", devices8[:8])
+    step, _ = make_sharded_train_step(tr, mesh=mesh, n_envs=8, n_steps=4)
+    carry = tr.init(jax.random.key(0))
+    carry, loss = step(carry, jax.random.key(1))
+    assert bool(jnp.isfinite(loss))
