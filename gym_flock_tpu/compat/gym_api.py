@@ -71,7 +71,24 @@ class LegacyEnv:
 
     def controller(self, *args, **kwargs):
         assert self._state is not None, "call reset() first"
-        return np.asarray(self.env.controller(self._state, self.params, *args, **kwargs))
+        sig = None
+        try:
+            sig = (args, tuple(sorted(kwargs.items())))
+            hash(sig)
+        except TypeError:
+            sig = None  # unhashable option (e.g. array-valued) -> eager
+        if sig is None:
+            return np.asarray(
+                self.env.controller(self._state, self.params, *args, **kwargs)
+            )
+        if not hasattr(self, "_ctrl_cache"):
+            self._ctrl_cache = {}
+        fn = self._ctrl_cache.get(sig)
+        if fn is None:
+            env = self.env
+            fn = jax.jit(lambda s, p: env.controller(s, p, *args, **kwargs))
+            self._ctrl_cache[sig] = fn
+        return np.asarray(fn(self._state, self.params))
 
     def render(self, mode: str = "human"):
         if mode != "human":
@@ -169,10 +186,13 @@ class _CoverageLegacyEnv(LegacyEnv):
                 self.params.n_actions, size=(self.params.n_robots, 1)
             )
         if greedy:
-            return np.asarray(
-                self.env.controller(
-                    self._state, self.params, key=self._split(), greedy=True
+            if not hasattr(self, "_greedy_jit"):
+                env = self.env
+                self._greedy_jit = jax.jit(
+                    lambda s, p, k: env.controller(s, p, key=k, greedy=True)
                 )
+            return np.asarray(
+                self._greedy_jit(self._state, self.params, self._split())
             )
         from gym_flock_tpu.experts.coverage_vrp import CoverageVRPPolicy
 
