@@ -45,6 +45,7 @@ class LegacyEnv:
         self._state = None
         self._key = jax.random.key(0)
         self._renderer = None
+        self._ctrl_cache = {}
         self.np_random = np.random.RandomState(0)
 
     # -- gym surface ------------------------------------------------------
@@ -69,20 +70,22 @@ class LegacyEnv:
         )
         return _to_np(obs), float(reward), bool(done), info
 
+    _CTRL_CACHE_MAX = 8  # option signatures are boolean-ish; bound anyway
+
     def controller(self, *args, **kwargs):
         assert self._state is not None, "call reset() first"
-        sig = None
         try:
             sig = (args, tuple(sorted(kwargs.items())))
             hash(sig)
         except TypeError:
             sig = None  # unhashable option (e.g. array-valued) -> eager
-        if sig is None:
+        if sig is None or (
+            sig not in self._ctrl_cache
+            and len(self._ctrl_cache) >= self._CTRL_CACHE_MAX
+        ):
             return np.asarray(
                 self.env.controller(self._state, self.params, *args, **kwargs)
             )
-        if not hasattr(self, "_ctrl_cache"):
-            self._ctrl_cache = {}
         fn = self._ctrl_cache.get(sig)
         if fn is None:
             env = self.env

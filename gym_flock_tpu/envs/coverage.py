@@ -520,7 +520,15 @@ def default_coverage_bank(
     Oversized maps (> max_targets) are redrawn — the reference instead
     crashes on ~2/3 of seeds (SURVEY.md §5.9c).
     """
-    cache_key = (n_graphs, n_robots, max_nodes, horizon, seed, kind, tuple(sorted(map_kwargs.items())))
+    keyed_kwargs = dict(map_kwargs)
+    if isinstance(keyed_kwargs.get("path"), str):
+        # key by map-file CONTENT, not path: a replaced map at the same path
+        # must not serve a stale disk-cached bank
+        import hashlib as _hl
+
+        with open(keyed_kwargs["path"], "rb") as f:
+            keyed_kwargs["path"] = (keyed_kwargs["path"], _hl.sha1(f.read()).hexdigest())
+    cache_key = (n_graphs, n_robots, max_nodes, horizon, seed, kind, tuple(sorted(keyed_kwargs.items())))
     if cache_key in _bank_cache:
         return _bank_cache[cache_key]
 

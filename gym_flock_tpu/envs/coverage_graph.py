@@ -503,8 +503,18 @@ def gen_sparse_grid(n_targets: int, x_max: float, y_max: float,
 
 def save_graph_bank(path: str, bank) -> None:
     """Persist a device GraphBank to .npz (bank building can take tens of
-    seconds for occupancy maps — reference init alone is ~12 s, BASELINE.md)."""
-    np.savez_compressed(path, **{k: np.asarray(v) for k, v in bank.items()})
+    seconds for occupancy maps — reference init alone is ~12 s, BASELINE.md).
+
+    Writes via a temp file + atomic rename so concurrent readers (pytest
+    workers, multi-host runs sharing a cache dir) never see a torn file."""
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    np.savez_compressed(tmp, **{k: np.asarray(v) for k, v in bank.items()})
+    # savez appends .npz when missing
+    if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
 
 
 def load_graph_bank(path: str):

@@ -28,7 +28,7 @@ from gym_flock_tpu.core.env import Env
 from gym_flock_tpu.models.gnn import AggregationGNN
 from gym_flock_tpu.parallel.rollout import make_env_mesh, rollout
 
-__all__ = ["FlockingImitationTrainer", "collect_flocking_batch"]
+__all__ = ["FlockingImitationTrainer", "collect_flocking_batch", "make_dp_train_step"]
 
 
 def collect_flocking_batch(env: Env, params, key: jax.Array, n_envs: int, n_steps: int):
@@ -50,6 +50,47 @@ def collect_flocking_batch(env: Env, params, key: jax.Array, n_envs: int, n_step
     acts = traj.action  # [B, T, N, 2]
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
     return flat(feats), flat(adj), flat(acts)
+
+
+def make_dp_train_step(tx, local_loss_fn, mesh=None, n_shards: int = None):
+    """Generic data-parallel train step over a 1-D mesh.
+
+    ``local_loss_fn(params, key) -> loss`` computes this device's loss from
+    its local env-key shard; grads/losses are pmean'd across the mesh axis
+    so every device applies an identical optax update.  Shared by the
+    flocking and coverage imitation trainers (identical layout: keys
+    sharded, params/optimizer replicated).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from gym_flock_tpu.parallel.rollout import make_env_mesh
+
+    if mesh is None:
+        mesh = make_env_mesh("dp")
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def local_step(params, opt_state, keys):
+        loss, grads = jax.value_and_grad(local_loss_fn)(params, keys[0])
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis)), out_specs=(P(), P(), P()),
+    )
+
+    @jax.jit
+    def step(carry, key):
+        params, opt_state = carry
+        keys = jax.random.split(key, n_dev)
+        params, opt_state, loss = sharded(params, opt_state, keys)
+        return (params, opt_state), loss
+
+    return step, mesh
 
 
 class FlockingImitationTrainer:
@@ -111,37 +152,17 @@ class FlockingImitationTrainer:
         """
         if mesh is None:
             mesh = make_env_mesh()
-        axis = mesh.axis_names[0]
         n_dev = mesh.devices.size
         assert n_envs % n_dev == 0
         local_envs = n_envs // n_dev
 
-        def local_step(params, opt_state, keys):
-            # keys: [local_envs] — this device's env shard
+        def local_loss(params, key):
             feats, adj, acts = collect_flocking_batch(
-                self.env, self.env_params, keys[0], local_envs, n_steps
+                self.env, self.env_params, key, local_envs, n_steps
             )
-            loss, grads = jax.value_and_grad(self.loss_fn)(params, feats, adj, acts)
-            grads = jax.lax.pmean(grads, axis)
-            loss = jax.lax.pmean(loss, axis)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return self.loss_fn(params, feats, adj, acts)
 
-        sharded = jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis)),
-            out_specs=(P(), P(), P()),
-        )
-
-        def step(carry, key):
-            params, opt_state = carry
-            keys = jax.random.split(key, n_dev)
-            params, opt_state, loss = sharded(params, opt_state, keys)
-            return (params, opt_state), loss
-
-        return jax.jit(step), mesh
+        return make_dp_train_step(self.tx, local_loss, mesh=mesh)
 
     def fit(self, key: jax.Array, n_iters: int = 20, n_envs: int = 8, n_steps: int = 8):
         """Single-device training driver; returns (params, losses)."""

@@ -160,41 +160,21 @@ class CoverageImitationTrainer:
 
 def make_sharded_train_step(trainer: CoverageImitationTrainer, mesh=None,
                             n_envs: int = 16, n_steps: int = 8):
-    """Data-parallel coverage BC step over a device mesh (same layout as the
-    flocking trainer: env keys sharded, params replicated, pmean'd grads)."""
-    import optax
-    from jax.sharding import PartitionSpec as P
-
+    """Data-parallel coverage BC step (delegates to the shared DP layout in
+    ``gym_flock_tpu.parallel.train.make_dp_train_step``)."""
     from gym_flock_tpu.parallel.rollout import make_env_mesh
+    from gym_flock_tpu.parallel.train import make_dp_train_step
 
     if mesh is None:
         mesh = make_env_mesh("dp")
-    axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     assert n_envs % n_dev == 0
     local_envs = n_envs // n_dev
 
-    def local_step(params, opt_state, keys):
+    def local_loss(params, key):
         batch = collect_coverage_batch(
-            trainer.env, trainer.env_params, keys[0], local_envs, n_steps
+            trainer.env, trainer.env_params, key, local_envs, n_steps
         )
-        loss, grads = jax.value_and_grad(trainer.loss_fn)(params, batch)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
-        updates, opt_state = trainer.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return trainer.loss_fn(params, batch)
 
-    sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), P(), P(axis)), out_specs=(P(), P(), P()),
-    )
-
-    @jax.jit
-    def step(carry, key):
-        params, opt_state = carry
-        keys = jax.random.split(key, n_dev)
-        params, opt_state, loss = sharded(params, opt_state, keys)
-        return (params, opt_state), loss
-
-    return step, mesh
+    return make_dp_train_step(trainer.tx, local_loss, mesh=mesh)

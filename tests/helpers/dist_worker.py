@@ -3,16 +3,19 @@ import os
 import sys
 
 proc_id = int(sys.argv[1])
+port = sys.argv[2] if len(sys.argv) > 2 else "9873"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, "/root/repo")
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from gym_flock_tpu.parallel.distributed import initialize, global_env_mesh, host_fold, local_shard_size
 
-initialize(coordinator_address="localhost:9873", num_processes=2, process_id=proc_id)
+initialize(coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc_id)
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 8, len(jax.devices())  # 2 procs x 4 local
 

@@ -18,12 +18,15 @@ import jax.numpy as jnp
 import gym_flock_tpu as gft
 from tests.reference_oracle import make_reference_env, reference_available
 
-pytestmark = [
-    pytest.mark.skipif(os.environ.get("GFT_SOAK") != "1", reason="set GFT_SOAK=1"),
-    pytest.mark.skipif(not reference_available(), reason="no reference"),
-]
+pytestmark = pytest.mark.skipif(
+    os.environ.get("GFT_SOAK") != "1", reason="set GFT_SOAK=1"
+)
+# only the differential soaks need the reference checkout; the distributed
+# test must run (and catch regressions) everywhere
+needs_reference = pytest.mark.skipif(not reference_available(), reason="no reference")
 
 
+@needs_reference
 def test_flocking_500_step_expert_soak():
     ref = make_reference_env("FlockingRelative-v0")
     ref.n_agents = 60
@@ -43,6 +46,7 @@ def test_flocking_500_step_expert_soak():
         np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-12, err_msg=f"t={t}")
 
 
+@needs_reference
 def test_coverage_multi_graph_episode_soak():
     from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams
     from gym_flock_tpu.envs.coverage_graph import (
@@ -79,6 +83,7 @@ def test_coverage_multi_graph_episode_soak():
                     break
 
 
+@needs_reference
 def test_shepherding_300_step_expert_soak():
     ref = make_reference_env("Shepherding-v0")
     ref.seed(5); ref.reset()
@@ -99,15 +104,25 @@ def test_two_process_distributed_train_step():
     import sys
     from pathlib import Path
 
+    import socket
+
     worker = Path(__file__).parent / "helpers" / "dist_worker.py"
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i)],
+            [sys.executable, str(worker), str(i), port],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=240)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # exact child PIDs only; never leak workers/port
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
     losses = []
