@@ -148,3 +148,23 @@ def test_nearby_starts_region_is_local_despite_horizon():
     pair_hops = hops[np.ix_(locs, locs)]
     assert np.isfinite(pair_hops).all()
     assert pair_hops.max() <= 20, pair_hops.max()
+
+
+def test_revisit_nodes_flag_reverts_targets():
+    """REVISIT_NODES: visited landmarks occasionally revert to unvisited
+    (reference coverage.py:246-247, w.p. 0.005 per step)."""
+    env, params = gft.make("Coverage-v0", n_graphs=1, revisit_nodes=True)
+    state, _ = env.reset_env(jax.random.key(0), params)
+    mask = np.asarray(params.bank["target_mask"][0])
+    reverted = 0
+    key = jax.random.key(1)
+    for t in range(120):
+        before = np.asarray(state.visited)[mask].sum()
+        key, k1, k2 = jax.random.split(key, 3)
+        u = env.controller(state, params, key=k1, greedy=True)
+        state, _, r, d, _ = env.step_env(k2, state, u, params)
+        after = np.asarray(state.visited)[mask].sum()
+        # a revert shows as visited-count decreasing net of new visits
+        if after - before < float(r):
+            reverted += 1
+    assert reverted > 0, "no visited target ever reverted in 120 steps"
