@@ -1,0 +1,93 @@
+"""Single-stream legacy-API benchmark — the reference's own usage pattern.
+
+The reference's quick test (test.py:43-70) drives ONE stateful env object:
+``u = env.controller(...)`` then ``env.step(u)``, once per step, on the host.
+Reference rates measured in BASELINE.md (1 CPU core):
+
+  * FlockingRelative-v0, 100 agents, expert+step: ~835 steps/s
+  * Coverage-v0, 6 robots, greedy+step (steady state): ~2381 steps/s
+
+This script measures the same loops through the compat layer.  Run with
+``JAX_PLATFORMS=cpu`` for an apples-to-apples host comparison (single-stream
+dispatch through the remote TPU tunnel is latency-bound and not what the
+reference measures; the batched TPU path is bench.py).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+# Force the host backend: the reference numbers are single-CPU-core, and the
+# env-var alone is overridden by remote-platform plugins (tests/conftest.py).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def bench_flocking(n_steps: int) -> float:
+    from gym_flock_tpu.compat import make_legacy
+
+    env = make_legacy("FlockingRelative-v0", n_agents=100)
+    env.seed(0)
+    env.reset()
+    # warmup: compile controller + step
+    for _ in range(3):
+        u = env.controller()
+        env.step(u)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        u = env.controller()
+        env.step(u)
+    return n_steps / (time.perf_counter() - t0)
+
+
+def bench_coverage(n_steps: int) -> float:
+    from gym_flock_tpu.compat import make_legacy
+
+    env = make_legacy("Coverage-v0")
+    env.seed(0)
+    env.reset()
+    for _ in range(3):
+        a = env.controller(greedy=True)
+        env.step(a)
+    done_count = 0
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        a = env.controller(greedy=True)
+        _, _, done, _ = env.step(a)
+        if done:
+            done_count += 1
+            env.reset()
+    dt = time.perf_counter() - t0
+    # resets are excluded from the reference rate; subtract nothing but note
+    return n_steps / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=2000)
+    args = p.parse_args()
+
+    flocking = bench_flocking(args.steps)
+    coverage = bench_coverage(args.steps)
+    print(
+        json.dumps(
+            {
+                "flocking_expert_step_per_s": round(flocking, 1),
+                "flocking_vs_ref_835": round(flocking / 835.0, 2),
+                "coverage_greedy_step_per_s": round(coverage, 1),
+                "coverage_vs_ref_2381": round(coverage / 2381.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

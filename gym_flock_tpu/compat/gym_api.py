@@ -46,6 +46,7 @@ class LegacyEnv:
         self._key = jax.random.key(0)
         self._renderer = None
         self._ctrl_cache = {}
+        self._spec = None  # speculative (controller -> step) result
         self.np_random = np.random.RandomState(0)
 
     # -- gym surface ------------------------------------------------------
@@ -53,6 +54,7 @@ class LegacyEnv:
     def seed(self, seed: Optional[int] = None):
         self._key = jax.random.key(0 if seed is None else seed)
         self.np_random = np.random.RandomState(seed)
+        self._spec = None
         return [seed]
 
     def _split(self):
@@ -60,10 +62,23 @@ class LegacyEnv:
         return sub
 
     def reset(self):
+        self._spec = None
         self._state, obs = self.env.reset(self._split(), self.params)
         return _to_np(obs)
 
     def step(self, action):
+        spec, self._spec = self._spec, None
+        if spec is not None and np.array_equal(
+            np.asarray(action), spec["action"]
+        ):
+            # speculation hit: the controller() call already computed this
+            # exact transition in its fused dispatch — commit it.
+            self._key = spec["key_next"]
+            self._state = spec["state"]
+            obs, reward, done, info = jax.device_get(
+                (spec["obs"], spec["reward"], spec["done"], spec["info"])
+            )
+            return obs, float(reward), bool(done), info
         action = jnp.asarray(np.asarray(action))
         self._state, obs, reward, done, info = self.env.step(
             self._split(), self._state, action, self.params
@@ -73,7 +88,18 @@ class LegacyEnv:
     _CTRL_CACHE_MAX = 8  # option signatures are boolean-ish; bound anyway
 
     def controller(self, *args, **kwargs):
+        """Expert action.
+
+        The reference driver's universal pattern is ``u = env.controller()``
+        immediately followed by ``env.step(u)`` (reference test.py:54-66).
+        Single-stream per-call dispatch dominates that loop here, so the
+        jit-cached path *fuses* controller + step into ONE device program and
+        stashes the resulting transition; ``step()`` serves it from the stash
+        when called with the same action (and falls back to a normal step —
+        with an identical RNG stream — when not).
+        """
         assert self._state is not None, "call reset() first"
+        self._spec = None
         try:
             sig = (args, tuple(sorted(kwargs.items())))
             hash(sig)
@@ -89,9 +115,34 @@ class LegacyEnv:
         fn = self._ctrl_cache.get(sig)
         if fn is None:
             env = self.env
-            fn = jax.jit(lambda s, p: env.controller(s, p, *args, **kwargs))
+
+            def fused(state, params, key):
+                action = env.controller(state, params, *args, **kwargs)
+                # same stream as an unfused step(): _split() would do
+                # key_next, sub = split(self._key)
+                key_next, sub = jax.random.split(key)
+                st, obs, reward, done, info = env.step_env(
+                    sub, state, action, params
+                )
+                return action, key_next, st, obs, reward, done, info
+
+            fn = jax.jit(fused)
             self._ctrl_cache[sig] = fn
-        return np.asarray(fn(self._state, self.params))
+        action, key_next, st, obs, reward, done, info = fn(
+            self._state, self.params, self._key
+        )
+        # stash an immutable view; hand the user a writable copy (the
+        # reference returns plain writable np arrays)
+        self._spec = {
+            "action": np.asarray(action),
+            "key_next": key_next,
+            "state": st,
+            "obs": obs,
+            "reward": reward,
+            "done": done,
+            "info": info,
+        }
+        return np.array(action)
 
     def render(self, mode: str = "human"):
         if mode != "human":
@@ -138,11 +189,13 @@ class LegacyEnv:
                 updates[field] = cast(args[cfg_key])
         if updates:
             self.params = self.params.replace(**updates)
+            self._spec = None
         return self.params
 
     def update_state(self, state_xy: np.ndarray):
         """Snap externally supplied robot positions onto the graph
         (reference coverage_arl.py:42-44) — the ROS/AirSim injection point."""
+        self._spec = None
         from gym_flock_tpu.envs.coverage import CoverageState
 
         assert isinstance(self._state, CoverageState)
@@ -178,25 +231,49 @@ class _CoverageLegacyEnv(LegacyEnv):
         """Recompute obs/reward at the current state without moving robots —
         the reference's ``step(action=None)`` path (coverage.py:180-202),
         used by the ROS/AirSim drivers after external state injection."""
+        self._spec = None
         obs, reward, done, state = self.env._obs_reward(self._state, self.params)
         self._state = state
         return _to_np(obs), float(reward), bool(done)
 
     def controller(self, random=False, greedy=False, reset_solution=False):
         assert self._state is not None, "call reset() first"
+        self._spec = None
         if random:
             return self.np_random.choice(
                 self.params.n_actions, size=(self.params.n_robots, 1)
             )
         if greedy:
-            if not hasattr(self, "_greedy_jit"):
+            if not hasattr(self, "_greedy_fused"):
                 env = self.env
-                self._greedy_jit = jax.jit(
-                    lambda s, p, k: env.controller(s, p, key=k, greedy=True)
-                )
-            return np.asarray(
-                self._greedy_jit(self._state, self.params, self._split())
+
+                def fused(state, params, key):
+                    # key stream identical to the unfused pair of calls:
+                    # controller() consumed _split() (k1, sub1), then
+                    # step() consumed _split() again (k2, sub2).
+                    k1, sub1 = jax.random.split(key)
+                    action = env.controller(state, params, key=sub1, greedy=True)
+                    k2, sub2 = jax.random.split(k1)
+                    st, obs, reward, done, info = env.step_env(
+                        sub2, state, action, params
+                    )
+                    return action, k1, k2, st, obs, reward, done, info
+
+                self._greedy_fused = jax.jit(fused)
+            action, k1, k2, st, obs, reward, done, info = self._greedy_fused(
+                self._state, self.params, self._key
             )
+            self._key = k1  # the controller's own split is committed now
+            self._spec = {
+                "action": np.asarray(action),  # immutable device view
+                "key_next": k2,
+                "state": st,
+                "obs": obs,
+                "reward": reward,
+                "done": done,
+                "info": info,
+            }
+            return np.array(action)  # user's writable copy
         from gym_flock_tpu.experts.coverage_vrp import CoverageVRPPolicy
 
         if self._vrp is None or reset_solution:

@@ -122,3 +122,90 @@ def test_frame_writer(tmp_path):
     frames = sorted(os.listdir(tmp_path))
     assert frames == ["frame_0000.png", "frame_0001.png", "frame_0002.png"]
     writer.renderer.close()
+
+# -- speculative controller+step fusion (compat/gym_api.py) -----------------
+
+
+def _flat_eq(a, b):
+    fa, _ = __import__("jax").tree.flatten(a)
+    fb, _ = __import__("jax").tree.flatten(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_flocking_speculation_matches_unfused():
+    """controller()+step(u) (speculation hit) must be bit-identical to the
+    plain step path (speculation discarded), including the RNG stream."""
+    a = make_legacy("FlockingRelative-v0", n_agents=12)
+    b = make_legacy("FlockingRelative-v0", n_agents=12)
+    a.seed(7), b.seed(7)
+    a.reset(), b.reset()
+    for _ in range(3):
+        ua = a.controller()
+        ub = b.controller()
+        np.testing.assert_array_equal(ua, ub)
+        b._spec = None  # force the unfused path on b
+        oa, ra, da, _ = a.step(ua)
+        ob, rb, db, _ = b.step(ub)
+        _flat_eq(oa, ob)
+        assert ra == rb and da == db
+    _flat_eq(a._state, b._state)
+    import jax
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(a._key)),
+        np.asarray(jax.random.key_data(b._key)),
+    )
+
+
+def test_coverage_speculation_matches_unfused():
+    a = make_legacy("Coverage-v0", n_graphs=1)
+    b = make_legacy("Coverage-v0", n_graphs=1)
+    a.seed(3), b.seed(3)
+    a.reset(), b.reset()
+    for _ in range(5):
+        ua = a.controller(greedy=True)
+        ub = b.controller(greedy=True)
+        np.testing.assert_array_equal(ua, ub)
+        b._spec = None
+        oa, ra, da, _ = a.step(ua)
+        ob, rb, db, _ = b.step(ub)
+        _flat_eq(oa, ob)
+        assert ra == rb and da == db
+    _flat_eq(a._state, b._state)
+    import jax
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(a._key)),
+        np.asarray(jax.random.key_data(b._key)),
+    )
+
+
+def test_speculation_miss_on_different_action():
+    """step() with an action other than controller()'s must ignore the
+    stash and behave exactly like a step with no controller() call."""
+    a = make_legacy("FlockingRelative-v0", n_agents=12)
+    b = make_legacy("FlockingRelative-v0", n_agents=12)
+    a.seed(11), b.seed(11)
+    a.reset(), b.reset()
+    other = np.full((12, 2), 0.25)
+    a.controller()  # stash a speculative transition, then discard it
+    oa, ra, da, _ = a.step(other)
+    ob, rb, db, _ = b.step(other)  # b never called controller()
+    _flat_eq(oa, ob)
+    assert ra == rb and da == db
+    _flat_eq(a._state, b._state)
+
+
+def test_speculation_survives_user_mutation_of_action():
+    """Mutating the returned action array then stepping with it must be a
+    miss (correct transition for the mutated action), not a stale hit."""
+    a = make_legacy("FlockingRelative-v0", n_agents=12)
+    b = make_legacy("FlockingRelative-v0", n_agents=12)
+    a.seed(5), b.seed(5)
+    a.reset(), b.reset()
+    u = a.controller()
+    u[:] = 0.125  # user mutates in place
+    oa, ra, _, _ = a.step(u)
+    ob, rb, _, _ = b.step(np.full_like(u, 0.125))
+    _flat_eq(oa, ob)
+    assert ra == rb
