@@ -63,6 +63,57 @@ def _register_others():
     register("LQR-v0", lqr_factory, None)  # unregistered in reference (lqr.py:12)
 
 
+def _register_legacy_mapping():
+    """The reference's ``old/`` env family (SURVEY.md §2.2 #22) — never
+    registered upstream (dead code, some of it unconstructible); ids here
+    are this framework's."""
+    from gym_flock_tpu.envs.flocking_multi import FlockingMultiEnv
+    from gym_flock_tpu.envs.mapping import (
+        MappingDiscEnv,
+        MappingEnv,
+        MappingLocalEnv,
+        MappingVelEnv,
+    )
+
+    def _mapping_factory(cls):
+        def factory(**kwargs):
+            import jax.numpy as jnp
+
+            from gym_flock_tpu.envs.mapping import make_target_grid
+
+            env = cls()
+            params = env.default_params()
+            if kwargs:
+                params = params.replace(**kwargs)
+                if "n_agents" in kwargs and getattr(env, "_px_tracks_n", False):
+                    # vel/disc/local arena scales with the fleet
+                    # (reference old/mapping_vel.py:103-104)
+                    n = float(params.n_agents)
+                    params = params.replace(
+                        px_max=kwargs.get("px_max", n),
+                        py_max=kwargs.get("py_max", n),
+                    )
+                if "target_x" not in kwargs:
+                    # the target lattice is derived from (n_agents, p[xy]_max)
+                    # (reference old/mapping_vel.py:95-111)
+                    params = params.replace(
+                        target_x=jnp.asarray(
+                            make_target_grid(
+                                params.n_agents, params.px_max, params.py_max
+                            )
+                        )
+                    )
+            return env, params
+
+        return factory
+
+    register("Mapping-v0", _mapping_factory(MappingEnv), 1000)
+    register("MappingVel-v0", _mapping_factory(MappingVelEnv), 1000)
+    register("MappingDisc-v0", _mapping_factory(MappingDiscEnv), 1000)
+    register("MappingLocal-v0", _mapping_factory(MappingLocalEnv), 1000)
+    register("FlockingMulti-v0", _flocking_factory(FlockingMultiEnv), 1000)
+
+
 def _airsim_factory(env_id):
     def factory(client=None, settings_path=None, names=None, home=None, **kwargs):
         """AirSim-bridged envs need a simulator client (reference gates these
@@ -102,5 +153,6 @@ def _airsim_factory(env_id):
 # failures here should surface, not be swallowed
 _register_coverage()
 _register_others()
+_register_legacy_mapping()
 register("FlockingAirsimAccel-v0", _airsim_factory("FlockingAirsimAccel-v0"), 200)
 register("MappingAirsim-v0", _airsim_factory("MappingAirsim-v0"), 100000)
