@@ -304,8 +304,10 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         tail_dist = jnp.concatenate([dist, dist]) / params.res  # (:292)
 
         # ---- robot-robot comm edges (COMM_EDGES, coverage.py:271-280):
-        # static R*(R-1) off-diagonal slots in np.nonzero row-major order,
-        # masked to -1 where 0 < d <= comm_radius fails
+        # R*(R-1) candidate off-diagonal pairs in np.nonzero row-major order;
+        # in-range pairs are COMPACTED to the front of the comm block (the
+        # reference's _get_graph_edges returns only the in-range pairs), so
+        # the buffer layout matches the reference positionally on any map
         if params.comm_edges:
             target_pos = params.bank["target_pos"][g]
             rp = target_pos[cur]  # [R, 2]
@@ -319,12 +321,17 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             jj = jnp.where(jj >= ii, jj + 1, jj)  # skip the diagonal
             dvals = dmat[ii, jj]
             valid = (dvals > 0) & (dvals <= params.comm_radius)
-            comm_senders = jnp.where(valid, ii, -1)
-            comm_receivers = jnp.where(valid, jj, -1)
-            comm_dist = jnp.where(valid, dvals, 0.0) / params.res
+            n_comm = jnp.sum(valid.astype(jnp.int32))
+            # stable compaction: valid pairs first, row-major order preserved
+            order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+            slot = jnp.arange(R * (R - 1)) < n_comm
+            comm_senders = jnp.where(slot, ii[order], -1)
+            comm_receivers = jnp.where(slot, jj[order], -1)
+            comm_dist = jnp.where(slot, dvals[order], 0.0) / params.res
             tail_senders = jnp.concatenate([tail_senders, comm_senders])
             tail_receivers = jnp.concatenate([tail_receivers, comm_receivers])
             tail_dist = jnp.concatenate([tail_dist, comm_dist])
+            n_tail_used = 2 * A * R + n_comm  # traced: varies per step
 
         # ---- last-edge flag (LAST_EDGE_FEATURE, coverage.py:296-308):
         # tail edge k flagged when it points INTO robot i from i's pre-move
@@ -344,23 +351,63 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         reward = new_sum - old_sum
 
         # ---- buffers
-        n_tail = tail_senders.shape[0]  # nA (+ comm slots)
-        motion_senders = params.bank["motion_senders"][g][: E - n_tail]
-        motion_receivers = params.bank["motion_receivers"][g][: E - n_tail]
-        motion_dists = params.bank["motion_dists"][g][: E - n_tail]
-        senders = jnp.concatenate([motion_senders, tail_senders])  # [E]
-        receivers = jnp.concatenate([motion_receivers, tail_receivers])
-        # motion-edge features are raw distances in column 0 (coverage.py:592
-        # does NOT normalize by res, and with LAST_EDGE_FEATURE the tail's
-        # dist moves to column 1 while motion rows keep column 0 — quirks)
-        if params.last_edge_feature:
-            motion_cols = jnp.stack(
-                [motion_dists, jnp.zeros_like(motion_dists)], axis=1
-            )
-            tail_cols = jnp.stack([last_flag, tail_dist], axis=1)
-            edge_feat = jnp.concatenate([motion_cols, tail_cols], axis=0)
+        n_tail = tail_senders.shape[0]  # nA (+ comm slots), static max
+        if params.comm_edges:
+            # dynamic tail offset: the reference writes the (action + comm)
+            # block flush at the buffer END (coverage.py:320-322), so its
+            # start shifts with the per-step comm-edge count.  Positions are
+            # selected by a gather over [motion | tail] — static shapes, one
+            # extra [E] gather only in this flag mode.
+            # (Deviation: rows between the motion block and the tail are
+            # zero-features here; the reference leaves STALE features from
+            # earlier, longer tails there — senders/receivers are -1 either
+            # way, which is what consumers mask on, e.g. unpack_obs
+            # coverage.py:719.)
+            tail_start = E - n_tail_used  # traced scalar
+            M = params.bank["motion_senders"].shape[1]
+            pad = E - M
+            neg = jnp.full((pad,), -1, dtype=jnp.int32)
+            zpad = jnp.zeros((pad,))
+            motion_s = jnp.concatenate([params.bank["motion_senders"][g], neg])
+            motion_r = jnp.concatenate([params.bank["motion_receivers"][g], neg])
+            motion_d = jnp.concatenate([params.bank["motion_dists"][g], zpad])
+            p = jnp.arange(E)
+            is_tail = p >= tail_start
+            idx = jnp.where(is_tail, p - tail_start + E, p)
+            senders = jnp.concatenate([motion_s, tail_senders])[idx]
+            receivers = jnp.concatenate([motion_r, tail_receivers])[idx]
+            dist_col = jnp.concatenate([motion_d, tail_dist])[idx]
+            if params.last_edge_feature:
+                flag_col = jnp.concatenate(
+                    [jnp.zeros((E,)), last_flag]
+                )[idx]
+                edge_feat = jnp.stack(
+                    [
+                        jnp.where(is_tail, flag_col, dist_col),
+                        jnp.where(is_tail, dist_col, 0.0),
+                    ],
+                    axis=1,
+                )
+            else:
+                edge_feat = dist_col.reshape((E, 1))
         else:
-            edge_feat = jnp.concatenate([motion_dists, tail_dist]).reshape((E, 1))
+            motion_senders = params.bank["motion_senders"][g][: E - n_tail]
+            motion_receivers = params.bank["motion_receivers"][g][: E - n_tail]
+            motion_dists = params.bank["motion_dists"][g][: E - n_tail]
+            senders = jnp.concatenate([motion_senders, tail_senders])  # [E]
+            receivers = jnp.concatenate([motion_receivers, tail_receivers])
+            # motion-edge features are raw distances in column 0
+            # (coverage.py:592 does NOT normalize by res, and with
+            # LAST_EDGE_FEATURE the tail's dist moves to column 1 while
+            # motion rows keep column 0 — quirks)
+            if params.last_edge_feature:
+                motion_cols = jnp.stack(
+                    [motion_dists, jnp.zeros_like(motion_dists)], axis=1
+                )
+                tail_cols = jnp.stack([last_flag, tail_dist], axis=1)
+                edge_feat = jnp.concatenate([motion_cols, tail_cols], axis=0)
+            else:
+                edge_feat = jnp.concatenate([motion_dists, tail_dist]).reshape((E, 1))
 
         # ---- node features (coverage.py:319-329)
         robot_flag = jnp.concatenate(
@@ -407,7 +454,11 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
                 )
 
             seen_edges = d_send * d_recv
-            seen_edges = seen_edges.at[E - n_tail :].set(1.0)  # coverage.py:343
+            # tail (action/comm) edges always visible (coverage.py:343)
+            if params.comm_edges:
+                seen_edges = jnp.where(jnp.arange(E) >= tail_start, 1.0, seen_edges)
+            else:
+                seen_edges = seen_edges.at[E - n_tail :].set(1.0)
             out_senders = jnp.where(seen_edges > 0, senders, -1)
 
         # ---- step counter & done (coverage.py:351-357): the obs carries the

@@ -332,6 +332,9 @@ def test_comm_edges_parity(shared_graph):
     Exact buffer parity holds when all robot pairs are in range (the static
     R*(R-1) slots are all valid) — guaranteed here by nearby starts.
     """
+    from tests.reference_oracle import load_reference
+
+    load_reference()
     import gym_flock.envs.spatial.coverage as ref_mod
 
     old_flag = ref_mod.COMM_EDGES
@@ -420,3 +423,74 @@ def test_parity_soak_additional_graphs(graph_seed):
         np.testing.assert_array_equal(np.asarray(u), ref_u)
         ref.step(ref_u.copy())
         state, _, r, _, _ = env.step_env(key, state, u, params)
+
+
+def test_comm_edges_parity_sparse_connectivity(shared_graph):
+    """COMM_EDGES with a SMALL comm radius: only some robot pairs are in
+    range, so the reference's tail block shrinks and shifts per step.  The
+    dynamic-offset layout must match senders/receivers exactly and edge
+    features on all live (sender != -1) rows.  (Dead gap rows keep stale
+    features in the reference — documented deviation: we zero them.)
+    """
+    from tests.reference_oracle import load_reference
+
+    load_reference()
+    import gym_flock.envs.spatial.coverage as ref_mod
+
+    old_flag = ref_mod.COMM_EDGES
+    ref_mod.COMM_EDGES = True
+    try:
+        ref = ref_mod.CoverageEnv(init_graph=False)
+        ref._initialize_graph(shared_graph.copy())
+        ref.comm_radius = 90.0  # smaller than the map extent: partial connectivity
+
+        spec = build_graph_spec(
+            shared_graph, MAX_NODES - N_ROBOTS, N_ROBOTS,
+            motion_radius=5.5 * 1.2, horizon=10,
+        )
+        env = CoverageEnv()
+        params = CoverageParams(
+            bank=build_graph_bank([spec]), comm_edges=True, comm_radius=90.0
+        )
+
+        rng = np.random.RandomState(9)
+        n_t = ref.n_targets
+        # spread-out starts => partial connectivity
+        robot_loc = rng.choice(n_t, size=(N_ROBOTS,), replace=False)
+        unvisited = rng.choice(n_t, size=(n_t // 2,), replace=False)
+        state = _sync_states(ref, params, robot_loc, unvisited)
+
+        key = jax.random.key(0)
+        saw_partial = False
+        ref_obs, _, _ = _ref_obs(ref)
+        obs, _, _, state = env._obs_reward(state, params)
+        for t in range(12):
+            ref_s = ref_obs["senders"].flatten()
+            np.testing.assert_array_equal(
+                np.asarray(obs["senders"]), ref_s, err_msg=f"senders t={t}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(obs["receivers"]),
+                ref_obs["receivers"].flatten(),
+                err_msg=f"receivers t={t}",
+            )
+            live = ref_s != -1
+            np.testing.assert_allclose(
+                np.asarray(obs["edges"])[live],
+                ref_obs["edges"][live],
+                atol=1e-5,
+                err_msg=f"edges t={t}",
+            )
+            # count comm edges this step: tail rows with both ends < N_ROBOTS
+            both_robot = live & (ref_s < N_ROBOTS) & (ref_obs["receivers"].flatten() < N_ROBOTS)
+            n_comm = int(np.sum(both_robot))
+            if 0 < n_comm < N_ROBOTS * (N_ROBOTS - 1):
+                saw_partial = True
+
+            action = rng.randint(0, 4, size=(N_ROBOTS,))
+            ref_obs, ref_r, _, _ = ref.step(action.copy())
+            state, obs, r, _, _ = env.step_env(key, state, jnp.asarray(action), params)
+            assert float(r) == ref_r, f"reward t={t}"
+        assert saw_partial, "test never exercised partial connectivity"
+    finally:
+        ref_mod.COMM_EDGES = old_flag
