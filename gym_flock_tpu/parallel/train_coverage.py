@@ -147,15 +147,95 @@ class CoverageImitationTrainer:
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    def fit(self, key: jax.Array, n_iters: int = 20, n_envs: int = 4, n_steps: int = 8):
+    def fit(
+        self,
+        key: jax.Array,
+        n_iters: int = 20,
+        n_envs: int = 4,
+        n_steps: int = 8,
+        eval_params: Optional[CoverageParams] = None,
+        eval_every: int = 0,
+    ):
+        """Train; optionally report generalization metrics on a held-out
+        graph bank every ``eval_every`` iterations (ROADMAP: multi-graph
+        training must be validated on graphs never sampled in training)."""
         k_init, key = jax.random.split(key)
         carry = self.init(k_init)
-        losses = []
-        for _ in range(n_iters):
+        losses, evals = [], []
+        for it in range(n_iters):
             key, sub = jax.random.split(key)
             carry, loss = self.train_step(carry, sub, n_envs, n_steps)
             losses.append(float(loss))
+            if eval_every and eval_params is not None and (it + 1) % eval_every == 0:
+                key, sub = jax.random.split(key)
+                evals.append(
+                    {"iter": it + 1, **self.evaluate(carry[0], sub, eval_params)}
+                )
+        if eval_params is not None and eval_every:
+            return carry, losses, evals
         return carry, losses
+
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def _eval_metrics(self, params, key, env_params, n_envs: int, n_steps: int):
+        """Jitted core of :meth:`evaluate`: expert-label accuracy on a batch
+        from ``env_params``'s bank, plus learned-policy vs expert episode
+        reward over matched resets."""
+        k_batch, k_roll = jax.random.split(key)
+        batch = collect_coverage_batch(self.env, env_params, k_batch, n_envs, n_steps)
+
+        def acc_one(sample):
+            g = self._graph(sample)
+            _, edge_logits = self.model.apply(params, g)
+            logits = action_edge_logits(edge_logits, env_params)
+            return jnp.mean(
+                (jnp.argmax(logits, axis=1) == sample["label"]).astype(jnp.float32)
+            )
+
+        acc = jnp.mean(jax.vmap(acc_one)(batch))
+
+        def rollout(key, use_policy):
+            state, obs = self.env.reset_env(key, env_params)
+
+            def body(carry, _):
+                state, obs = carry
+                if use_policy:
+                    g = self._graph(obs)
+                    _, edge_logits = self.model.apply(params, g)
+                    logits = action_edge_logits(edge_logits, env_params)
+                    action = jnp.argmax(logits, axis=1)
+                else:
+                    action = self.env.controller(state, env_params)
+                state, obs, r, _, _ = self.env.step_env(key, state, action, env_params)
+                return (state, obs), r
+
+            _, rs = jax.lax.scan(body, (state, obs), None, length=n_steps)
+            return jnp.sum(rs)
+
+        keys = jax.random.split(k_roll, n_envs)
+        policy_reward = jnp.mean(jax.vmap(lambda k: rollout(k, True))(keys))
+        expert_reward = jnp.mean(jax.vmap(lambda k: rollout(k, False))(keys))
+        return acc, policy_reward, expert_reward
+
+    def evaluate(
+        self,
+        params,
+        key: jax.Array,
+        env_params: Optional[CoverageParams] = None,
+        n_envs: int = 4,
+        n_steps: int = 8,
+    ):
+        """Generalization report on a (held-out) bank: expert-action
+        accuracy, mean episode reward of the learned greedy policy and of
+        the expert over the SAME resets, and their ratio."""
+        p = env_params if env_params is not None else self.env_params
+        acc, pol, exp = self._eval_metrics(params, key, p, n_envs, n_steps)
+        exp_f = float(exp)
+        return {
+            "accuracy": float(acc),
+            "policy_reward": float(pol),
+            "expert_reward": exp_f,
+            "reward_ratio": float(pol) / exp_f if exp_f != 0 else float("nan"),
+        }
 
 
 def make_sharded_train_step(trainer: CoverageImitationTrainer, mesh=None,

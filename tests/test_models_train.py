@@ -170,13 +170,22 @@ def test_coverage_policy_generalizes_to_held_out_bank():
     env = CoverageEnv()
     train_params = CoverageParams(bank=default_coverage_bank(n_graphs=2, seed=0))
     tr = CoverageImitationTrainer(env, train_params)
-    carry, _ = tr.fit(jax.random.key(0), n_iters=10, n_envs=2, n_steps=8)
-
     held_out = CoverageParams(bank=default_coverage_bank(n_graphs=2, seed=1))
-    tr_eval = CoverageImitationTrainer(env, held_out)
+    carry, losses, evals = tr.fit(
+        jax.random.key(0), n_iters=10, n_envs=2, n_steps=8,
+        eval_params=held_out, eval_every=5,
+    )
+    assert len(evals) == 2 and evals[-1]["iter"] == 10
+    report = tr.evaluate(carry[0], jax.random.key(77), held_out)
+    assert set(report) == {"accuracy", "policy_reward", "expert_reward", "reward_ratio"}
+    assert report["accuracy"] > 0.35, report  # random = 0.25
+    assert np.isfinite(report["reward_ratio"])
+
+    # the old path still works too
     batch = collect_coverage_batch(env, held_out, jax.random.key(77), 2, 8)
+    tr_eval = CoverageImitationTrainer(env, held_out)
     acc = float(tr_eval.accuracy(carry[0], batch))
-    assert acc > 0.35, acc  # random = 0.25
+    assert acc > 0.35, acc
 
 
 def test_sharded_dagger_iteration(devices8):
