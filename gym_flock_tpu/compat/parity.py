@@ -9,12 +9,12 @@ device env via ``init_state``.  Device dynamics are deterministic, so
 trajectories then match the reference end-to-end (tests/test_flocking_parity.py
 proves the dynamics side at 1e-9).
 
-Coverage-family resets are not seed-reproducible even against themselves:
-the reference mixes three streams (``self.np_random`` robot placement,
-global ``np.random`` in map generation at make_map.py:208 and subgraph
-selection at coverage_arl.py:69) whose interleaving depends on SciPy
-internals; parity there is instead established by state injection
-(tests/test_coverage_parity.py).
+Coverage resets mix two streams (``self.np_random`` for center/robots/
+unvisited, global ``np.random`` in map generation at make_map.py:208);
+:func:`reference_coverage_reset` replays both byte-exactly.  CoverageARL's
+additional subgraph-selection stream (coverage_arl.py:69) also draws from
+the global stream and could be replayed the same way if needed; parity
+there is established by state injection (tests/test_coverage_parity.py).
 """
 from __future__ import annotations
 
@@ -22,7 +22,12 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["reference_flocking_reset", "reference_shepherding_reset", "gym011_np_random"]
+__all__ = [
+    "reference_flocking_reset",
+    "reference_shepherding_reset",
+    "reference_coverage_reset",
+    "gym011_np_random",
+]
 
 
 def reference_flocking_reset(
@@ -138,3 +143,78 @@ def reference_shepherding_reset(
     if prev_theta is not None:
         x[:, 2] = prev_theta
     return x
+
+
+def reference_coverage_reset(
+    seed: int,
+    n_robots: int = 6,
+    frac_active_targets: float = 0.5,
+    nearby_density: int = 5,
+    map_rng=None,
+    rng=None,
+):
+    """Replay the reference ``CoverageEnv.reset()`` draw sequence byte-exactly.
+
+    The reference's coverage reset consumes TWO RNG streams (SURVEY.md §5.9a):
+    the *global* ``np.random`` inside map generation
+    (make_map.py:208 via coverage.py:516-527) and the seeded
+    ``self.np_random`` for the nearby-start center, robot placement, and
+    unvisited selection (coverage.py:399-417, 596-599).  This replays both:
+
+    1. map: ``generate_coverage_targets`` is byte-identical to the
+       reference's ``_generate_targets`` from the same stream (tested);
+       pass ``map_rng`` (default: the global ``np.random`` module, i.e.
+       seed it with ``np.random.seed(s)`` exactly as for the reference).
+    2. nearby-start region: BFS ring expansion from a ``np_random.choice``
+       center until >= ``n_robots * nearby_density`` nodes are reached
+       (coverage.py:655-673's ``get_n_nearest``), replayed via unweighted
+       shortest-path levels.
+    3. robots: ``choice(region, size=n_robots, replace=False)``;
+       unvisited: ``choice(all_targets, size=int(n*frac), replace=False)``
+       — both on the gym-0.11 sha512-hashed stream (:func:`gym011_np_random`).
+
+    Pass ``rng`` to continue an existing ``self.np_random`` stream across
+    multiple resets of the same env instance (like the reference, which
+    seeds once and keeps drawing).
+
+    Returns ``(targets [n_t, 2], robot_loc [n_robots], visited [n_t])`` —
+    target-local indices/masks ready for ``CoverageState`` injection.
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import shortest_path
+
+    from gym_flock_tpu.envs.coverage_graph import DELTA, generate_coverage_targets
+
+    if map_rng is None:
+        map_rng = np.random
+    targets = generate_coverage_targets(map_rng)
+    n_t = targets.shape[0]
+    if rng is None:
+        rng = gym011_np_random(seed)
+
+    # nearby-start region (coverage.py:596-599 under graph_changed=True)
+    center = rng.choice(n_t)
+    motion_radius = DELTA * 1.2
+    d = np.linalg.norm(targets[:, None, :] - targets[None, :, :], axis=2)
+    adj = (d <= motion_radius).astype(float)  # self_loops=True upstream
+    hops = shortest_path(csr_matrix(adj), method="D", unweighted=True)
+    want = n_robots * nearby_density
+    level = 0
+    while np.sum(hops[center] <= level) < want:
+        level += 1
+    start_region = hops[center] <= level
+
+    robot_loc = rng.choice(
+        np.arange(n_t)[start_region], size=(n_robots,), replace=False
+    )
+    # the reference draws from GLOBAL node ids (targets shifted by n_robots,
+    # coverage.py:410-414) — replicate the exact choice input
+    unvisited_global = np.arange(n_t) + n_robots
+    chosen = rng.choice(
+        unvisited_global,
+        size=(int(len(unvisited_global) * frac_active_targets),),
+        replace=False,
+    )
+    visited = np.ones((n_t,))
+    visited[chosen - n_robots] = 0.0
+    return targets, robot_loc.astype(np.int64), visited

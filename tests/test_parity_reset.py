@@ -117,3 +117,71 @@ def test_load_cfg_section():
         assert obs[0].shape == (24, 6)
     finally:
         os.unlink(path)
+
+
+def test_coverage_reset_seed_parity():
+    """Seed-exact coverage reset: seeding the global map stream and the env
+    seed identically must reproduce the reference's reset() observation
+    buffers byte-for-byte via reference_coverage_reset + state injection."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tests.reference_oracle import load_reference
+
+    load_reference()
+    import gym_flock.envs.spatial.coverage as ref_mod
+
+    from gym_flock_tpu.compat.parity import reference_coverage_reset
+    from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams, CoverageState
+    from gym_flock_tpu.envs.coverage_graph import build_graph_bank, build_graph_spec
+
+    MAP_SEED, ENV_SEED, R = 1, 42, 6  # map seed 1 -> 410 targets (fits 500)
+
+    ref = ref_mod.CoverageEnv(init_graph=False)
+    ref.seed(ENV_SEED)
+    np.random.seed(MAP_SEED)
+    ref_obs = ref.reset()
+
+    np.random.seed(MAP_SEED)
+    targets, robot_loc, visited = reference_coverage_reset(ENV_SEED, n_robots=R)
+    assert targets.shape[0] == ref.n_targets
+
+    spec = build_graph_spec(targets, 500 - R, R, motion_radius=5.5 * 1.2, horizon=10)
+    env = CoverageEnv()
+    params = CoverageParams(bank=build_graph_bank([spec]))
+    visited_pad = np.ones((params.max_targets,))
+    visited_pad[: targets.shape[0]] = visited
+    state = CoverageState(
+        time=jnp.int32(0),
+        graph=jnp.int32(0),
+        robot_loc=jnp.asarray(robot_loc, dtype=jnp.int32),
+        visited=jnp.asarray(visited_pad),
+        discovered=jnp.zeros((params.max_targets,)),
+        episode_reward=jnp.float32(0),
+        last_loc=jnp.full((R,), -1, dtype=jnp.int32),
+    )
+    obs, _, _, state = env._obs_reward(state, params)
+
+    np.testing.assert_array_equal(
+        np.asarray(obs["senders"]), ref_obs["senders"].flatten()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obs["receivers"]), ref_obs["receivers"].flatten()
+    )
+    np.testing.assert_allclose(np.asarray(obs["nodes"]), ref_obs["nodes"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs["edges"]), ref_obs["edges"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(obs["step"]), ref_obs["step"])
+
+    # and the episode continues in lockstep
+    rng = np.random.RandomState(4)
+    key = jax.random.key(0)
+    for t in range(5):
+        action = rng.randint(0, 4, size=(R,))
+        ref_obs, ref_r, ref_d, _ = ref.step(action.copy())
+        state, obs, r, d, _ = env.step_env(key, state, jnp.asarray(action), params)
+        assert float(r) == ref_r, f"reward t={t}"
+        np.testing.assert_array_equal(
+            np.asarray(obs["senders"]), ref_obs["senders"].flatten(),
+            err_msg=f"senders t={t}",
+        )
