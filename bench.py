@@ -49,8 +49,10 @@ def main():
                 state, (values, network), reward, _, _ = env.step_env(
                     jax.random.key(0), state, u, params
                 )
-                # consume the observation so it is genuinely computed
-                return state.x, reward + jnp.sum(values) * 1e-12
+                # consume the WHOLE observation tuple so nothing is
+                # dead-code-eliminated (the reference computes both the
+                # features and the mean-pooled network every step)
+                return state.x, reward + (jnp.sum(values) + jnp.sum(network)) * 1e-12
 
             x, rs = jax.lax.scan(body, x, None, length=N_STEPS)
             return jnp.sum(rs)

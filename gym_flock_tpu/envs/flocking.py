@@ -191,8 +191,17 @@ def turner_potential_grad(pos_diff_c: jax.Array, r2: jax.Array, comm_radius) -> 
     NOTE the reference quirk kept for parity: the cutoff compares ``r2``
     (distance *squared*) against ``comm_radius`` (NOT squared) —
     flocking_relative.py:225.
+
+    Perf: expressed through ``inv = 1/r2`` so that the products
+    ``pos_diff*inv`` / ``pos_diff*inv^2`` are common subexpressions with
+    :func:`flocking_features` — in the fused expert+step program this cuts
+    the [N,N] division count from 5 to 1 (the kernel is VPU
+    division-throughput-bound; the reference formulation spends 2 divides
+    per channel, flocking_relative.py:223).
     """
-    grad = -2.0 * pos_diff_c / (r2 * r2) + 2.0 * pos_diff_c / r2
+    inv = 1.0 / r2
+    inv2 = inv * inv
+    grad = -2.0 * (pos_diff_c * inv2) + 2.0 * (pos_diff_c * inv)
     return jnp.where(r2 > comm_radius, 0.0, grad)
 
 

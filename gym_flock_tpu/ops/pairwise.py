@@ -76,7 +76,10 @@ def mean_pool_normalize(adj: jax.Array) -> jax.Array:
     """
     n_neighbors = jnp.sum(adj, axis=-1, keepdims=True)
     n_neighbors = jnp.where(n_neighbors == 0, jnp.ones_like(n_neighbors), n_neighbors)
-    return adj / n_neighbors
+    # reciprocal-then-multiply: N divides instead of N^2.  Bitwise identical
+    # to adj / n for BINARY adjacency (entries are exactly 0.0 or 1.0:
+    # 1*(1/n) == 1/n and 0*(1/n) == 0, and n >= 1 so no inf/nan edge cases).
+    return adj * (1.0 / n_neighbors)
 
 
 def nodes_within_radius(rad, pos1: jax.Array, pos2: jax.Array) -> jax.Array:
