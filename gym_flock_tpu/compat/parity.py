@@ -11,10 +11,11 @@ proves the dynamics side at 1e-9).
 
 Coverage resets mix two streams (``self.np_random`` for center/robots/
 unvisited, global ``np.random`` in map generation at make_map.py:208);
-:func:`reference_coverage_reset` replays both byte-exactly.  CoverageARL's
-additional subgraph-selection stream (coverage_arl.py:69) also draws from
-the global stream and could be replayed the same way if needed; parity
-there is established by state injection (tests/test_coverage_parity.py).
+:func:`reference_coverage_reset` replays both byte-exactly, and
+:func:`reference_coverage_arl_subgraph` replays CoverageARL's additional
+random-subwindow stream (coverage_arl.py:64-82) on top — both proven
+against the real reference envs (tests/test_parity_reset.py), the ARL one
+on the real occupancy map.
 """
 from __future__ import annotations
 
@@ -26,6 +27,7 @@ __all__ = [
     "reference_flocking_reset",
     "reference_shepherding_reset",
     "reference_coverage_reset",
+    "reference_coverage_arl_subgraph",
     "gym011_np_random",
 ]
 
@@ -152,6 +154,8 @@ def reference_coverage_reset(
     nearby_density: int = 5,
     map_rng=None,
     rng=None,
+    targets=None,
+    motion_radius=None,
 ):
     """Replay the reference ``CoverageEnv.reset()`` draw sequence byte-exactly.
 
@@ -177,6 +181,10 @@ def reference_coverage_reset(
     multiple resets of the same env instance (like the reference, which
     seeds once and keeps drawing).
 
+    Pass ``targets`` to skip map generation (e.g. an ARL subwindow from
+    :func:`reference_coverage_arl_subgraph`) and ``motion_radius`` when the
+    env's differs from Coverage-v0's (ARL: res 5.0 * 1.2 = 6.0).
+
     Returns ``(targets [n_t, 2], robot_loc [n_robots], visited [n_t])`` —
     target-local indices/masks ready for ``CoverageState`` injection.
     """
@@ -185,16 +193,18 @@ def reference_coverage_reset(
 
     from gym_flock_tpu.envs.coverage_graph import DELTA, generate_coverage_targets
 
-    if map_rng is None:
-        map_rng = np.random
-    targets = generate_coverage_targets(map_rng)
+    if targets is None:
+        if map_rng is None:
+            map_rng = np.random
+        targets = generate_coverage_targets(map_rng)
     n_t = targets.shape[0]
     if rng is None:
         rng = gym011_np_random(seed)
 
     # nearby-start region (coverage.py:596-599 under graph_changed=True)
     center = rng.choice(n_t)
-    motion_radius = DELTA * 1.2
+    if motion_radius is None:
+        motion_radius = DELTA * 1.2
     d = np.linalg.norm(targets[:, None, :] - targets[None, :, :], axis=2)
     adj = (d <= motion_radius).astype(float)  # self_loops=True upstream
     hops = shortest_path(csr_matrix(adj), method="D", unweighted=True)
@@ -218,3 +228,41 @@ def reference_coverage_reset(
     visited = np.ones((n_t,))
     visited[chosen - n_robots] = 0.0
     return targets, robot_loc.astype(np.int64), visited
+
+
+def reference_coverage_arl_subgraph(
+    all_targets: np.ndarray,
+    motion_radius: float = 5.0 * 1.2,
+    num_subgraphs: float = 3.0,
+    min_graph_size: int = 200,
+    map_rng=None,
+):
+    """Replay CoverageARL's per-episode random subwindow selection
+    (reference coverage_arl.py:64-82) byte-exactly.
+
+    Draws ``graph_start ~ U(min_xy, max_xy - subgraph_size)`` from the
+    GLOBAL ``np.random`` stream (the reference's, coverage_arl.py:69),
+    crops, keeps the largest connected component, retries until
+    >= ``min_graph_size`` nodes.  ``all_targets`` is the full map after
+    ``load_graph`` (our ``targets_from_occupancy`` is byte-identical to the
+    reference's ``from_occupancy`` — tested on the real ARL map).
+    """
+    from gym_flock_tpu.envs.coverage_graph import _largest_component
+
+    if map_rng is None:
+        map_rng = np.random
+    min_xy = np.min(all_targets, axis=0).reshape((1, 2))
+    max_xy = np.max(all_targets, axis=0).reshape((1, 2))
+    subgraph_size = (max_xy - min_xy) / num_subgraphs
+    while True:
+        graph_start = map_rng.uniform(low=min_xy, high=max_xy - subgraph_size)
+        graph_end = graph_start + subgraph_size
+        inside = np.all(
+            np.logical_and(graph_start <= all_targets, all_targets < graph_end), axis=1
+        )
+        targets = all_targets[inside, :]
+        if targets.shape[0] < min_graph_size:
+            continue
+        targets = _largest_component(targets, motion_radius)
+        if targets.shape[0] >= min_graph_size:
+            return targets

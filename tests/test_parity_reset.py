@@ -185,3 +185,78 @@ def test_coverage_reset_seed_parity():
             np.asarray(obs["senders"]), ref_obs["senders"].flatten(),
             err_msg=f"senders t={t}",
         )
+
+
+def test_coverage_arl_reset_seed_parity():
+    """Seed-exact CoverageARL reset: occupancy map load (byte-identical to
+    the reference's from_occupancy), random subwindow replay, and the
+    placement stream — reproduced against the real reference env driving
+    the real ARL map."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tests.reference_oracle import load_reference
+
+    load_reference()
+    from gym_flock.envs.spatial.coverage_arl import CoverageARLEnv as RefARL
+
+    from gym_flock_tpu.compat.parity import (
+        reference_coverage_arl_subgraph,
+        reference_coverage_reset,
+    )
+    from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams, CoverageState
+    from gym_flock_tpu.envs.coverage_graph import (
+        _largest_component,
+        build_graph_bank,
+        build_graph_spec,
+        targets_from_occupancy,
+    )
+
+    MAP_SEED, ENV_SEED, R = 5, 13, 4
+    MOTION_RADIUS = 0.5 * 10 * 1.2  # MAP_RES * downsample * 1.2 = 6.0
+
+    ref = RefARL(horizon=10)  # constructor consumes RNG; seed AFTER it
+    ref.seed(ENV_SEED)
+    np.random.seed(MAP_SEED)
+    ref_obs = ref.reset()
+
+    all_targets = _largest_component(
+        targets_from_occupancy(
+            path="/root/reference/gym_flock/envs/spatial/maps/grid_slice10.npy",
+            downsample_rate=10,
+            perimeter_delta=2.0,
+        ),
+        MOTION_RADIUS,
+    )
+    np.random.seed(MAP_SEED)
+    sub = reference_coverage_arl_subgraph(all_targets, motion_radius=MOTION_RADIUS)
+    assert sub.shape[0] == ref.n_targets
+    targets, robot_loc, visited = reference_coverage_reset(
+        ENV_SEED, n_robots=R, targets=sub, motion_radius=MOTION_RADIUS
+    )
+
+    spec = build_graph_spec(sub, 1000 - R, R, motion_radius=MOTION_RADIUS, horizon=10)
+    env = CoverageEnv()
+    params = CoverageParams(bank=build_graph_bank([spec]), n_robots=R, max_nodes=1000, res=5.0)
+    visited_pad = np.ones((params.max_targets,))
+    visited_pad[: sub.shape[0]] = visited
+    state = CoverageState(
+        time=jnp.int32(0),
+        graph=jnp.int32(0),
+        robot_loc=jnp.asarray(robot_loc, dtype=jnp.int32),
+        visited=jnp.asarray(visited_pad),
+        discovered=jnp.zeros((params.max_targets,)),
+        episode_reward=jnp.float32(0),
+        last_loc=jnp.full((R,), -1, dtype=jnp.int32),
+    )
+    obs, _, _, state = env._obs_reward(state, params)
+
+    np.testing.assert_array_equal(
+        np.asarray(obs["senders"]), ref_obs["senders"].flatten()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obs["receivers"]), ref_obs["receivers"].flatten()
+    )
+    np.testing.assert_allclose(np.asarray(obs["nodes"]), ref_obs["nodes"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs["edges"]), ref_obs["edges"], atol=1e-5)
