@@ -13,3 +13,13 @@ from gym_flock_tpu.parallel.distributed import (
 )
 from gym_flock_tpu.parallel.train_coverage import CoverageImitationTrainer
 from gym_flock_tpu.parallel.dagger import DaggerTrainer, DaggerState
+from gym_flock_tpu.parallel.agent_shard import (
+    make_flock_mesh,
+    flocking_sums_sharded,
+    flocking_features_sharded,
+    turner_controller_sharded,
+    adjacency_matmul_sharded,
+    flocking_step_sharded,
+    flocking_reset_sharded,
+    agent_sharded_rollout,
+)

@@ -1,0 +1,421 @@
+"""Agent-axis sharding for the O(N^2) flocking interaction kernels.
+
+The reference computes all-pairs interactions as one dense [N, N] pass in a
+single process (flocking_relative.py:111-134).  One chip runs out of HBM for
+that matrix somewhere past N ~ 100k (a dense f32 [N, N] at N=131072 is
+64 GiB); the scaling axis the reference cannot touch at all.  Here the
+*agent* axis is sharded over a mesh axis: each device owns a row block of
+``m = N / P`` agents and computes that block's pairwise reductions
+
+- ``mode="allgather"``: one ``all_gather`` of the swarm state (N x 4 — tiny
+  compared to the pair matrix), then a single [m, N] block pass.  Peak
+  pairwise footprint O(m * N) per device.
+- ``mode="ring"``: column blocks of the swarm stream around a ``ppermute``
+  ring; each of the P steps computes an [m, m] tile and accumulates the
+  per-row sums.  Peak footprint O(m^2) — the ring-attention schedule applied
+  to pairwise interactions (SURVEY.md §5.7), and the layout whose collective
+  traffic rides neighbor ICI links on a real pod slice.
+
+Both modes compose with the env-batch axis: the canonical mesh is
+``make_flock_mesh(dp, ap)`` — ``Mesh(devices.reshape(dp, ap), ("dp", "ap"))``
+— with the batched swarm state sharded ``P("dp", "ap")`` over [B, N, 4].
+Everything here is written against a named mesh axis and is meant to be
+called inside ``jax.shard_map`` (see :func:`agent_sharded_rollout` for the
+assembled pattern).
+
+Channel-sum layout matches ``ops.pallas_flocking.flocking_sums`` channels
+0..8 (6 observation features, 2 Turner gradient sums, degree); channel 9
+adds the per-row min squared distance (used by the sharded reset acceptance
+test, reference flocking_relative.py:164).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_flock_tpu.envs.flocking import FlockingParams, _integrate
+
+__all__ = [
+    "make_flock_mesh",
+    "flocking_sums_sharded",
+    "flocking_features_sharded",
+    "turner_controller_sharded",
+    "adjacency_matmul_sharded",
+    "flocking_step_sharded",
+    "flocking_reset_sharded",
+    "agent_sharded_rollout",
+]
+
+
+def make_flock_mesh(dp: int, ap: int, devices=None) -> jax.sharding.Mesh:
+    """2-D mesh: env-batch axis ``dp`` x agent axis ``ap``.
+
+    On a real slice put ``ap`` on the mesh's minor (fastest-wrap) dimension
+    so the ring permutation of :func:`flocking_sums_sharded` maps to
+    nearest-neighbor ICI hops.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if devices.size < dp * ap:
+        raise ValueError(f"need {dp * ap} devices, have {devices.size}")
+    return jax.sharding.Mesh(devices[: dp * ap].reshape(dp, ap), ("dp", "ap"))
+
+
+def _block_sums(
+    xr: jax.Array,
+    xc: jax.Array,
+    row_ids: jax.Array,
+    col_ids: jax.Array,
+    comm_radius,
+    comm_radius2,
+) -> jax.Array:
+    """Pairwise reductions of row block ``xr`` [m,4] against column block
+    ``xc`` [k,4]; returns [m, 10] partial channel sums (module docstring).
+
+    ``row_ids`` / ``col_ids`` are *global* agent indices — the diagonal
+    (self-pair) mask of the dense kernel (envs.flocking._pairwise_channels)
+    becomes a global-id equality test across blocks.
+    """
+    dx = xr[:, 0, None] - xc[None, :, 0]
+    dy = xr[:, 1, None] - xc[None, :, 1]
+    dvx = xr[:, 2, None] - xc[None, :, 2]
+    dvy = xr[:, 3, None] - xc[None, :, 3]
+    r2 = dx * dx + dy * dy
+    r2 = jnp.where(row_ids[:, None] == col_ids[None, :], jnp.inf, r2)
+    adj = (r2 < comm_radius2).astype(dx.dtype)
+    inv = 1.0 / r2
+    inv2 = inv * inv
+    # Turner gradient factor; cutoff keeps the reference's r2-vs-radius quirk
+    # (flocking_relative.py:225) exactly like the dense and Pallas kernels
+    gfac = jnp.where(r2 > comm_radius, 0.0, 2.0 * inv * (1.0 - inv))
+    return jnp.stack(
+        (
+            jnp.sum(dvx * adj, axis=1),
+            jnp.sum(dx * inv2 * adj, axis=1),
+            jnp.sum(dx * inv * adj, axis=1),
+            jnp.sum(dvy * adj, axis=1),
+            jnp.sum(dy * inv2 * adj, axis=1),
+            jnp.sum(dy * inv * adj, axis=1),
+            jnp.sum(dx * gfac, axis=1),
+            jnp.sum(dy * gfac, axis=1),
+            jnp.sum(adj, axis=1),
+            jnp.min(r2, axis=1),
+        ),
+        axis=1,
+    )
+
+
+def _ring_perm(p: int):
+    # device i receives the block held by device (i + 1) % p each step,
+    # i.e. source j sends to destination (j - 1) % p
+    return [(j, (j - 1) % p) for j in range(p)]
+
+
+def _local_ids(m: int, axis_name: str) -> jax.Array:
+    return jax.lax.axis_index(axis_name) * m + jnp.arange(m)
+
+
+def flocking_sums_sharded(
+    x_local: jax.Array,
+    comm_radius,
+    comm_radius2,
+    axis_name: str = "ap",
+    mode: str = "ring",
+) -> jax.Array:
+    """All per-agent pairwise reductions, agent axis sharded over ``axis_name``.
+
+    ``x_local``: this shard's [m, 4] row block of the global [N, 4] swarm
+    (N = m * axis size).  Returns this shard's [m, 10] channel sums — the
+    sharded counterpart of ``ops.flocking_sums`` (plus min-r2, channel 9).
+    Call inside ``shard_map``.
+    """
+    m = x_local.shape[0]
+    p = jax.lax.axis_size(axis_name)
+    row_ids = _local_ids(m, axis_name)
+
+    if mode == "allgather":
+        x_all = jax.lax.all_gather(x_local, axis_name, tiled=True)
+        col_ids = jnp.arange(m * p)
+        return _block_sums(x_local, x_all, row_ids, col_ids, comm_radius, comm_radius2)
+
+    if mode != "ring":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    perm = _ring_perm(p)
+
+    def body(carry, s):
+        block = carry
+        src = jnp.mod(jax.lax.axis_index(axis_name) + s, p)
+        col_ids = src * m + jnp.arange(m)
+        part = _block_sums(x_local, block, row_ids, col_ids, comm_radius, comm_radius2)
+        # min-r2 (channel 9) combines by min, everything else by sum; handled
+        # by the caller-side combine below
+        block = jax.lax.ppermute(block, axis_name, perm)
+        return block, part
+
+    _, parts = jax.lax.scan(body, x_local, jnp.arange(p))  # [p, m, 10]
+    sums = jnp.sum(parts[:, :, :9], axis=0)
+    min_r2 = jnp.min(parts[:, :, 9], axis=0)
+    return jnp.concatenate([sums, min_r2[:, None]], axis=1)
+
+
+def flocking_features_sharded(
+    x_local: jax.Array,
+    comm_radius,
+    comm_radius2,
+    axis_name: str = "ap",
+    mode: str = "ring",
+) -> Tuple[jax.Array, jax.Array]:
+    """Sharded ``compute_helpers`` (reference flocking_relative.py:111-134):
+    returns ``(state_values [m, 6], degree [m])`` for this shard's agents.
+    Like ``ops.flocking_features_large``, the dense [N, N] network is never
+    materialized; aggregate through :func:`adjacency_matmul_sharded`."""
+    s = flocking_sums_sharded(x_local, comm_radius, comm_radius2, axis_name, mode)
+    return s[:, 0:6], s[:, 8]
+
+
+def turner_controller_sharded(
+    x_local: jax.Array,
+    params: FlockingParams,
+    axis_name: str = "ap",
+    mode: str = "ring",
+    sums: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Centralized Turner expert (reference flocking_relative.py:194-212),
+    agent axis sharded.  The velocity-consensus term uses the closed form
+    ``sum_j (v_i - v_j) = N v_i - sum_j v_j`` — the global velocity sum is
+    one ``psum``, not an N^2 pass.  Pass precomputed ``sums`` (from
+    :func:`flocking_sums_sharded`) to share the pairwise pass with the
+    observation kernel, as the fused step does."""
+    m = x_local.shape[0]
+    n = m * jax.lax.axis_size(axis_name)
+    if sums is None:
+        sums = flocking_sums_sharded(
+            x_local, params.comm_radius, params.comm_radius2, axis_name, mode
+        )
+    s_gx, s_gy = sums[:, 6], sums[:, 7]
+    v_tot = jax.lax.psum(jnp.sum(x_local[:, 2:4], axis=0), axis_name)
+    s_dvx = n * x_local[:, 2] - v_tot[0]
+    s_dvy = n * x_local[:, 3] - v_tot[1]
+    controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
+    return jnp.clip(controls, -10.0, 10.0) / params.action_scalar
+
+
+def adjacency_matmul_sharded(
+    x_local: jax.Array,
+    h_local: jax.Array,
+    comm_radius2,
+    axis_name: str = "ap",
+    mode: str = "ring",
+    mean_pool: bool = True,
+) -> jax.Array:
+    """(A(x) @ H) with both operands sharded along the agent axis.
+
+    The GNN aggregation primitive (reference flocking_relative.py:117-122 /
+    old/flocking_multi.py:180-266) at swarm sizes where neither A nor the
+    full H fits one device: each ring step builds an [m, m] adjacency tile
+    from positions and contracts it against the visiting [m, F] feature
+    block on the MXU.  ``mean_pool`` divides by degree exactly like
+    ``ops.mean_pool_normalize`` (zero-degree rows pass through unscaled).
+    """
+    m = x_local.shape[0]
+    p = jax.lax.axis_size(axis_name)
+    row_ids = _local_ids(m, axis_name)
+
+    def tile(xc, col_ids):
+        dx = x_local[:, 0, None] - xc[None, :, 0]
+        dy = x_local[:, 1, None] - xc[None, :, 1]
+        r2 = dx * dx + dy * dy
+        adj = (r2 < comm_radius2) & (row_ids[:, None] != col_ids[None, :])
+        return adj.astype(h_local.dtype)
+
+    if mode == "allgather":
+        x_all = jax.lax.all_gather(x_local, axis_name, tiled=True)
+        h_all = jax.lax.all_gather(h_local, axis_name, tiled=True)
+        adj = tile(x_all, jnp.arange(m * p))
+        out = adj @ h_all
+        deg = jnp.sum(adj, axis=1)
+    elif mode == "ring":
+
+        def body(carry, s):
+            xb, hb, acc, deg = carry
+            src = jnp.mod(jax.lax.axis_index(axis_name) + s, p)
+            adj = tile(xb, src * m + jnp.arange(m))
+            acc = acc + adj @ hb
+            deg = deg + jnp.sum(adj, axis=1)
+            xb = jax.lax.ppermute(xb, axis_name, _ring_perm(p))
+            hb = jax.lax.ppermute(hb, axis_name, _ring_perm(p))
+            return (xb, hb, acc, deg), None
+
+        # zeros_like(h_local) inherits h's varying-over-ap type; the fresh
+        # deg zeros are unvarying and must be cast so the scan carry
+        # typechecks under shard_map's VMA tracking
+        acc0 = jnp.zeros_like(h_local)
+        deg0 = jax.lax.pcast(
+            jnp.zeros((m,), h_local.dtype), (axis_name,), to="varying"
+        )
+        (_, _, out, deg), _ = jax.lax.scan(
+            body, (x_local, h_local, acc0, deg0), jnp.arange(p)
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if mean_pool:
+        out = out / jnp.where(deg == 0, 1.0, deg)[:, None]
+    return out
+
+
+def flocking_step_sharded(
+    x_local: jax.Array,
+    params: FlockingParams,
+    axis_name: str = "ap",
+    mode: str = "ring",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One fused expert+dynamics+observation step on a sharded swarm.
+
+    The sharded counterpart of the headline benchmark loop (bench.py):
+    Turner expert -> Euler double-integrator -> 6-channel features -> reward,
+    with ONE pairwise pass for the expert and one for the new observation.
+    Returns ``(x_local', values_local [m, 6], reward)`` where reward — the
+    reference's -sum of velocity variances (flocking_relative.py:145-147) —
+    is computed from global psum'd moments and is identical on every shard.
+    """
+    u_local = turner_controller_sharded(x_local, params, axis_name, mode)
+    x2 = _integrate(x_local, u_local, params.dt)
+    values, _ = flocking_features_sharded(
+        x2, params.comm_radius, params.comm_radius2, axis_name, mode
+    )
+    n = x_local.shape[0] * jax.lax.axis_size(axis_name)
+    v = x2[:, 2:4]
+    s1 = jax.lax.psum(jnp.sum(v, axis=0), axis_name)  # [2]
+    s2 = jax.lax.psum(jnp.sum(v * v, axis=0), axis_name)  # [2]
+    mean = s1 / n
+    reward = -1.0 * jnp.sum(s2 / n - mean * mean)
+    return x2, values, reward
+
+
+def flocking_reset_sharded(
+    key: jax.Array,
+    params: FlockingParams,
+    axis_name: str = "ap",
+    mode: str = "ring",
+) -> jax.Array:
+    """Rejection-sampling reset with the acceptance test itself sharded.
+
+    Semantics of reference flocking_relative.py:156-184 (redraw until global
+    min degree >= 2 and min pairwise distance > threshold, here bounded at
+    ``params.max_reset_tries``), but the O(N^2) degree/min-dist check runs
+    as one sharded pairwise pass — no device ever sees the full swarm.  The
+    draw uses per-shard folds of one key, so the same key yields the same
+    swarm at any shard count.  Returns this shard's [m, 4] block.
+    """
+    n = params.n_agents
+    p = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    if n % p != 0:
+        raise ValueError(f"n_agents={n} must divide over axis size {p}")
+    m = n // p
+
+    def draw(key):
+        kb, kf = jax.random.split(jax.random.fold_in(key, 0))
+        bias = jax.random.uniform(kb, (2,), minval=-params.v_bias, maxval=params.v_bias)
+        # one key per *global* agent, sliced to this shard's block — the
+        # drawn swarm is a function of the key alone, not the shard count
+        agent_keys = jax.lax.dynamic_slice_in_dim(
+            jax.random.split(kf, n), me * m, m, axis=0
+        )
+
+        def per_agent(k):
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            length = jnp.sqrt(jax.random.uniform(k1, maxval=params.r_max_eff))
+            angle = jnp.pi * jax.random.uniform(k2, maxval=2.0)
+            vx = jax.random.uniform(k3, minval=-params.v_max, maxval=params.v_max)
+            vy = jax.random.uniform(k4, minval=-params.v_max, maxval=params.v_max)
+            return jnp.stack(
+                (length * jnp.cos(angle), length * jnp.sin(angle),
+                 vx + bias[0], vy + bias[1])
+            )
+
+        return jax.vmap(per_agent)(agent_keys)
+
+    def accept(x_local):
+        s = flocking_sums_sharded(
+            x_local, params.comm_radius, params.comm_radius2, axis_name, mode
+        )
+        min_deg = jax.lax.pmin(jnp.min(s[:, 8]), axis_name)
+        min_r2 = jax.lax.pmin(jnp.min(s[:, 9]), axis_name)
+        return (min_deg >= 2) & (
+            jnp.sqrt(min_r2) > params.min_dist_thresh
+        )
+
+    def cond(carry):
+        _, _, ok, tries = carry
+        return (~ok) & (tries < params.max_reset_tries)
+
+    def body(carry):
+        key, _, _, tries = carry
+        key, sub = jax.random.split(key)
+        x = draw(sub)
+        return key, x, accept(x), tries + 1
+
+    key0, sub0 = jax.random.split(key)
+    x0 = draw(sub0)
+    _, x, _, _ = jax.lax.while_loop(cond, body, (key0, x0, accept(x0), jnp.int32(1)))
+    return x
+
+
+def agent_sharded_rollout(
+    params: FlockingParams,
+    key: jax.Array,
+    n_envs: int,
+    n_steps: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    mode: str = "ring",
+):
+    """Roll a batch of large swarms over a 2-D (env-batch x agent) mesh.
+
+    Envs are sharded over ``dp`` and every swarm's agent axis over ``ap``
+    (mesh from :func:`make_flock_mesh`); each step is one fused
+    expert+dynamics+obs pass (:func:`flocking_step_sharded`).  Returns
+    ``(x_final [n_envs, N, 4] sharded P("dp", "ap"), mean_reward scalar)``
+    with the mean reward psum'd across the whole fleet — the only
+    cross-``dp`` collective, at the learner boundary (SURVEY.md §5.8).
+    """
+    if mesh is None:
+        mesh = make_flock_mesh(1, len(jax.devices()))
+    dp_axis, ap_axis = mesh.axis_names
+    n_dp = mesh.shape[dp_axis]
+    if n_envs % n_dp != 0:
+        raise ValueError(f"n_envs={n_envs} must divide over dp={n_dp}")
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(keys_local):
+        def one_env(key):
+            x0 = flocking_reset_sharded(key, params, ap_axis, mode)
+
+            def body(x, _):
+                x2, _, reward = flocking_step_sharded(x, params, ap_axis, mode)
+                return x2, reward
+
+            x, rewards = jax.lax.scan(body, x0, None, length=n_steps)
+            return x, jnp.mean(rewards)
+
+        xs, mean_r = jax.vmap(one_env)(keys_local)
+        # learner-boundary collective: fleet-wide mean reward
+        mean_r = jax.lax.pmean(jnp.mean(mean_r), dp_axis)
+        return xs, mean_r
+
+    keys = jax.random.split(key, n_envs)
+    shard_fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(dp_axis),
+        out_specs=(P(dp_axis, ap_axis), P()),
+        check_vma=False,
+    )
+    return shard_fn(keys)

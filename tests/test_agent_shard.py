@@ -1,0 +1,172 @@
+"""Agent-axis sharding vs the dense single-device kernels.
+
+The sharded kernels (parallel/agent_shard.py) split the swarm's agent axis
+over a mesh axis; these tests run them on the virtual 8-device CPU mesh and
+check them against the dense [N, N] kernels of envs/flocking.py — same
+inputs, per-agent outputs equal up to summation-order float error.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from gym_flock_tpu.envs.flocking import (
+    FlockingParams,
+    _integrate,
+    _pairwise_channels,
+    flocking_features,
+    turner_controller,
+    turner_potential_grad,
+)
+from gym_flock_tpu.parallel.agent_shard import (
+    adjacency_matmul_sharded,
+    agent_sharded_rollout,
+    flocking_reset_sharded,
+    flocking_step_sharded,
+    flocking_sums_sharded,
+    make_flock_mesh,
+    turner_controller_sharded,
+)
+
+N = 64
+PARAMS = FlockingParams(n_agents=N)
+
+
+def _swarm(key, n=N):
+    x = jax.random.normal(key, (n, 4), jnp.float32)
+    # spread positions so the radius graph has structure (some pairs in
+    # range, some out) at comm_radius=0.9
+    return x.at[:, :2].mul(2.0)
+
+
+def _dense_sums(x, params):
+    """Expected channel sums from the dense kernels (module docstring layout)."""
+    values, adj, _, r2 = flocking_features(x, params.comm_radius2)
+    dx, dy, _, _, _ = _pairwise_channels(x)
+    gx = jnp.sum(turner_potential_grad(dx, r2, params.comm_radius), axis=1)
+    gy = jnp.sum(turner_potential_grad(dy, r2, params.comm_radius), axis=1)
+    deg = jnp.sum(adj, axis=1)
+    min_r2 = jnp.min(r2, axis=1)
+    return jnp.concatenate(
+        [values, gx[:, None], gy[:, None], deg[:, None], min_r2[:, None]], axis=1
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh8(devices8):
+    return jax.sharding.Mesh(np.asarray(devices8[:8]), ("ap",))
+
+
+@pytest.mark.parametrize("mode", ["ring", "allgather"])
+def test_sums_match_dense(mesh8, mode):
+    x = _swarm(jax.random.key(0))
+    expected = _dense_sums(x, PARAMS)
+
+    fn = jax.shard_map(
+        lambda xl: flocking_sums_sharded(
+            xl, PARAMS.comm_radius, PARAMS.comm_radius2, "ap", mode
+        ),
+        mesh=mesh8,
+        in_specs=P("ap"),
+        out_specs=P("ap"),
+    )
+    got = fn(x)
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["ring", "allgather"])
+def test_controller_matches_dense(mesh8, mode):
+    x = _swarm(jax.random.key(1))
+    expected = turner_controller(x, PARAMS, centralized=True)
+
+    fn = jax.shard_map(
+        lambda xl: turner_controller_sharded(xl, PARAMS, "ap", mode),
+        mesh=mesh8,
+        in_specs=P("ap"),
+        out_specs=P("ap"),
+    )
+    got = fn(x)
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["ring", "allgather"])
+@pytest.mark.parametrize("mean_pool", [True, False])
+def test_adjacency_matmul_sharded(mesh8, mode, mean_pool):
+    kx, kh = jax.random.split(jax.random.key(2))
+    x = _swarm(kx)
+    h = jax.random.normal(kh, (N, 16), jnp.float32)
+
+    _, adj, adj_mean, _ = flocking_features(x, PARAMS.comm_radius2)
+    expected = (adj_mean if mean_pool else adj) @ h
+
+    fn = jax.shard_map(
+        lambda xl, hl: adjacency_matmul_sharded(
+            xl, hl, PARAMS.comm_radius2, "ap", mode, mean_pool=mean_pool
+        ),
+        mesh=mesh8,
+        in_specs=(P("ap"), P("ap")),
+        out_specs=P("ap"),
+    )
+    got = fn(x, h)
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_step_matches_dense(mesh8):
+    """One sharded expert+integrate+obs+reward step == the dense env step."""
+    x = _swarm(jax.random.key(3))
+
+    u = turner_controller(x, PARAMS, centralized=True)
+    x2_expected = _integrate(x, u, PARAMS.dt)
+    values_expected, _, _, _ = flocking_features(x2_expected, PARAMS.comm_radius2)
+    reward_expected = -1.0 * jnp.sum(jnp.var(x2_expected[:, 2:4], axis=0))
+
+    fn = jax.shard_map(
+        lambda xl: flocking_step_sharded(xl, PARAMS, "ap", "ring"),
+        mesh=mesh8,
+        in_specs=P("ap"),
+        out_specs=(P("ap"), P("ap"), P()),
+        check_vma=False,  # reward is psum'd -> replicated, but computed per-shard
+    )
+    x2, values, reward = fn(x)
+    np.testing.assert_allclose(x2, x2_expected, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(values, values_expected, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(reward, reward_expected, rtol=2e-5, atol=2e-5)
+
+
+def test_reset_sharded_accepts_and_is_shard_count_invariant(devices8):
+    """Reset satisfies the acceptance predicate and the drawn swarm is the
+    same function of the key at any agent-shard count."""
+    params = FlockingParams(n_agents=64)
+    swarms = {}
+    for p in (2, 4):
+        mesh = jax.sharding.Mesh(np.asarray(devices8[:p]), ("ap",))
+        fn = jax.shard_map(
+            lambda k: flocking_reset_sharded(k[0], params, "ap", "ring"),
+            mesh=mesh,
+            in_specs=P(),
+            out_specs=P("ap"),
+            check_vma=False,
+        )
+        swarms[p] = np.asarray(fn(jnp.stack([jax.random.key(7)])))
+    np.testing.assert_array_equal(swarms[2], swarms[4])
+
+    x = jnp.asarray(swarms[2])
+    _, _, _, _, r2 = _pairwise_channels(x)
+    assert float(jnp.min(jnp.sqrt(r2))) > params.min_dist_thresh
+    assert int(jnp.min(jnp.sum(r2 < params.comm_radius2, axis=1))) >= 2
+
+
+@pytest.mark.parametrize("mode", ["ring", "allgather"])
+def test_agent_sharded_rollout_2d_mesh(devices8, mode):
+    """Full 2-D (dp x ap) fleet rollout runs and returns finite stats."""
+    mesh = make_flock_mesh(2, 4, devices8)
+    params = FlockingParams(n_agents=32)
+    xs, mean_r = jax.jit(
+        lambda k: agent_sharded_rollout(
+            params, k, n_envs=4, n_steps=3, mesh=mesh, mode=mode
+        )
+    )(jax.random.key(11))
+    assert xs.shape == (4, 32, 4)
+    assert bool(jnp.all(jnp.isfinite(xs)))
+    assert bool(jnp.isfinite(mean_r))
