@@ -25,6 +25,12 @@ Channel layout of the [N, 16] ``flocking_sums`` output (padding zeros):
   3: sum adj*dvy        4: sum adj*dy/r^4   5: sum adj*dy/r^2
   6: sum grad_x         7: sum grad_y       8: degree (sum adj)
 
+:func:`flocking_sums_block` is the cross-block form — row agents against a
+*different* column block, with global-index offsets for the diagonal mask —
+used as the per-ring-step tile of the agent-axis-sharded kernels
+(``parallel.agent_shard``).  It adds channel 9: per-row min r^2 (the sharded
+reset's min-distance acceptance test, reference flocking_relative.py:164).
+
 adj = r^2 < comm_radius^2 off-diagonal; grad uses the reference's quirky
 cutoff r^2 > comm_radius (NOT squared; flocking_relative.py:225).
 """
@@ -39,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "flocking_sums",
+    "flocking_sums_block",
     "turner_controller_large",
     "flocking_features_large",
     "flocking_sums_batched",
@@ -225,6 +232,194 @@ def turner_controller_large(
     s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
     controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
     return jnp.clip(controls, -10.0, 10.0) / action_scalar
+
+
+# =============================================================================
+# flocking_sums_block: cross-block tile for the agent-sharded ring schedule
+# =============================================================================
+
+
+def _block_sums_kernel(
+    scal, offs, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref, *, bi, bj
+):
+    # grid = (B, m_i, k_j); offs = (global row offset, global col offset)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    comm_radius = scal[0]
+    comm_radius2 = scal[1]
+
+    row_ids = offs[0] + i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
+    col_ids = offs[1] + j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
+
+    dx = px_c[0] - px_r[0]  # [bi,1] - [1,bj] -> [bi,bj]
+    dy = py_c[0] - py_r[0]
+    dvx = vx_c[0] - vx_r[0]
+    dvy = vy_c[0] - vy_r[0]
+
+    r2 = dx * dx + dy * dy
+    r2 = jnp.where(row_ids == col_ids, jnp.inf, r2)
+    adj = (r2 < comm_radius2).astype(dx.dtype)
+    inv = 1.0 / r2
+    inv2 = inv * inv
+    gfac = jnp.where(r2 > comm_radius, 0.0, 2.0 * inv * (1.0 - inv))
+
+    sums = jnp.stack(
+        [
+            jnp.sum(dvx * adj, axis=1),
+            jnp.sum(dx * inv2 * adj, axis=1),
+            jnp.sum(dx * inv * adj, axis=1),
+            jnp.sum(dvy * adj, axis=1),
+            jnp.sum(dy * inv2 * adj, axis=1),
+            jnp.sum(dy * inv * adj, axis=1),
+            jnp.sum(dx * gfac, axis=1),
+            jnp.sum(dy * gfac, axis=1),
+            jnp.sum(adj, axis=1),
+            jnp.min(r2, axis=1),  # channel 9: per-row min r^2
+        ],
+        axis=1,
+    )  # [bi, 10]
+    pad = jnp.zeros((bi, N_OUT - 10), dx.dtype)
+    block = jnp.concatenate([sums, pad], axis=1)[None]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = block
+
+    @pl.when(j > 0)
+    def _():
+        prev = out_ref[:]
+        ch = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 2)
+        # channel 9 combines by min, everything else by sum
+        out_ref[:] = jnp.where(ch == 9, jnp.minimum(prev, block), prev + block)
+
+
+def _pad_block(xb, n_pad, dtype):
+    """Pad agents parked at distinct far positions: adj/gfac contribute 0 and
+    pad-pad pairs never coincide."""
+    b, n, _ = xb.shape
+    pad = n_pad - n
+    ppos = jnp.broadcast_to(_PAD_POS * (1.0 + jnp.arange(pad, dtype=dtype)), (b, pad))
+    zeros = jnp.zeros((b, pad), dtype)
+    px = jnp.concatenate([xb[:, :, 0], ppos], axis=1)
+    py = jnp.concatenate([xb[:, :, 1], -ppos], axis=1)
+    vx = jnp.concatenate([xb[:, :, 2], zeros], axis=1)
+    vy = jnp.concatenate([xb[:, :, 3], zeros], axis=1)
+    return px, py, vx, vy
+
+
+def _block_sums_impl(xr, xc, offs, comm_radius, comm_radius2, interpret=False, vma=None):
+    squeeze = xr.ndim == 2
+    if squeeze:
+        xr, xc = xr[None], xc[None]
+    b, m, _ = xr.shape
+    k = xc.shape[1]
+    dtype = xr.dtype
+    bi = 128
+    m_pad = _round_up(m, bi)
+    bj = min(512, _round_up(k, 128))
+    k_pad = _round_up(k, bj)
+
+    px, py, vx, vy = _pad_block(xr, m_pad, dtype)
+    qx, qy, wx, wy = _pad_block(xc, k_pad, dtype)
+    cols = [v.reshape(b, m_pad, 1) for v in (px, py, vx, vy)]
+    rows = [v.reshape(b, 1, k_pad) for v in (qx, qy, wx, wy)]
+    scal = jnp.asarray([comm_radius, comm_radius2], dtype)
+
+    col_spec = pl.BlockSpec((1, bi, 1), lambda bb, i, j, *_: (bb, i, 0))
+    row_spec = pl.BlockSpec((1, 1, bj), lambda bb, i, j, *_: (bb, 0, j))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, m_pad // bi, k_pad // bj),
+        in_specs=[col_spec] * 4 + [row_spec] * 4,
+        out_specs=pl.BlockSpec((1, bi, N_OUT), lambda bb, i, j, *_: (bb, i, 0)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((b, m_pad, N_OUT), dtype)
+        if vma is None
+        else jax.ShapeDtypeStruct((b, m_pad, N_OUT), dtype, vma=frozenset(vma))
+    )
+    out = pl.pallas_call(
+        functools.partial(_block_sums_kernel, bi=bi, bj=bj),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scal, offs, *cols, *rows)
+    out = out[:, :m]
+    return out[0] if squeeze else out
+
+
+def _make_block_sums_vmappable(vma):
+    @jax.custom_batching.custom_vmap
+    def _block_sums_vmappable(xr, xc, offs, scal):
+        return _block_sums_impl(xr, xc, offs, scal[0], scal[1], vma=vma)
+
+
+    @_block_sums_vmappable.def_vmap
+    def _block_sums_vmap_rule(axis_size, in_batched, xr, xc, offs, scal):
+        # route vmap to the native batch grid dimension (see _flocking_sums_vmap_rule)
+        xr_b, xc_b, offs_b, scal_b = in_batched
+        assert not scal_b and not offs_b, "vmap over radii/offsets unsupported"
+        if not (xr_b or xc_b):
+            return _block_sums_impl(xr, xc, offs, scal[0], scal[1], vma=vma), False
+        if not xr_b:
+            xr = jnp.broadcast_to(xr[None], (axis_size,) + xr.shape)
+        if not xc_b:
+            xc = jnp.broadcast_to(xc[None], (axis_size,) + xc.shape)
+        if xr.ndim > 3:
+            lead = xr.shape[:-2]
+            out = _block_sums_impl(
+                xr.reshape((-1,) + xr.shape[-2:]),
+                xc.reshape((-1,) + xc.shape[-2:]),
+                offs,
+                scal[0],
+                scal[1],
+                vma=vma,
+            )
+            return out.reshape(lead + out.shape[1:]), True
+        return _block_sums_impl(xr, xc, offs, scal[0], scal[1], vma=vma), True
+
+    return _block_sums_vmappable
+
+
+_BLOCK_SUMS_VMAPPABLE_CACHE = {}
+
+
+def _block_sums_vmappable_for(vma):
+    key = None if vma is None else frozenset(vma)
+    if key not in _BLOCK_SUMS_VMAPPABLE_CACHE:
+        _BLOCK_SUMS_VMAPPABLE_CACHE[key] = _make_block_sums_vmappable(key)
+    return _BLOCK_SUMS_VMAPPABLE_CACHE[key]
+
+
+def flocking_sums_block(
+    xr: jax.Array,
+    xc: jax.Array,
+    row_offset,
+    col_offset,
+    comm_radius,
+    comm_radius2,
+    interpret: bool = False,
+    vma=None,
+):
+    """Cross-block flocking reductions: row agents ``xr`` [m, 4] (or [B, m, 4])
+    against a column block ``xc`` [k, 4], returning [m, 16] channel sums
+    (module docstring; channel 9 = per-row min r^2, combine across blocks
+    with ``min``; channels 0..8 combine with ``+``).
+
+    ``row_offset``/``col_offset`` are the blocks' global agent indices — the
+    self-pair mask of :func:`flocking_sums` becomes a global-id equality
+    test, so tiling [row block] x [all column blocks] and combining
+    reproduces the full-swarm reductions exactly.  This is the VMEM-resident
+    tile of the agent-sharded ring schedule
+    (``parallel.agent_shard.flocking_sums_sharded(use_pallas=True)``).
+    """
+    offs = jnp.asarray([row_offset, col_offset], jnp.int32)
+    if interpret:
+        return _block_sums_impl(
+            xr, xc, offs, comm_radius, comm_radius2, interpret=True, vma=vma
+        )
+    scal = jnp.asarray([comm_radius, comm_radius2], jnp.result_type(xr.dtype))
+    return _block_sums_vmappable_for(vma)(xr, xc, offs, scal)
 
 
 # =============================================================================

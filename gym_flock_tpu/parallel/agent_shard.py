@@ -125,6 +125,8 @@ def flocking_sums_sharded(
     comm_radius2,
     axis_name: str = "ap",
     mode: str = "ring",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """All per-agent pairwise reductions, agent axis sharded over ``axis_name``.
 
@@ -132,15 +134,34 @@ def flocking_sums_sharded(
     (N = m * axis size).  Returns this shard's [m, 10] channel sums — the
     sharded counterpart of ``ops.flocking_sums`` (plus min-r2, channel 9).
     Call inside ``shard_map``.
+
+    ``use_pallas`` routes each tile through the VMEM-resident
+    ``ops.flocking_sums_block`` kernel instead of XLA — the choice for large
+    per-shard blocks, where the XLA path materializes O(m * k) channel
+    temporaries in HBM (``interpret`` is for CPU testing of that path).
     """
     m = x_local.shape[0]
     p = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
     row_ids = _local_ids(m, axis_name)
+
+    if use_pallas:
+        from gym_flock_tpu.ops.pallas_flocking import flocking_sums_block
+
+        def tile_sums(xc, col_off, col_ids):
+            return flocking_sums_block(
+                x_local, xc, me * m, col_off, comm_radius, comm_radius2,
+                interpret=interpret, vma=(axis_name,),
+            )[:, :10]
+
+    else:
+
+        def tile_sums(xc, col_off, col_ids):
+            return _block_sums(x_local, xc, row_ids, col_ids, comm_radius, comm_radius2)
 
     if mode == "allgather":
         x_all = jax.lax.all_gather(x_local, axis_name, tiled=True)
-        col_ids = jnp.arange(m * p)
-        return _block_sums(x_local, x_all, row_ids, col_ids, comm_radius, comm_radius2)
+        return tile_sums(x_all, 0, jnp.arange(m * p))
 
     if mode != "ring":
         raise ValueError(f"unknown mode {mode!r}")
@@ -149,9 +170,8 @@ def flocking_sums_sharded(
 
     def body(carry, s):
         block = carry
-        src = jnp.mod(jax.lax.axis_index(axis_name) + s, p)
-        col_ids = src * m + jnp.arange(m)
-        part = _block_sums(x_local, block, row_ids, col_ids, comm_radius, comm_radius2)
+        src = jnp.mod(me + s, p)
+        part = tile_sums(block, src * m, src * m + jnp.arange(m))
         # min-r2 (channel 9) combines by min, everything else by sum; handled
         # by the caller-side combine below
         block = jax.lax.ppermute(block, axis_name, perm)
@@ -169,12 +189,16 @@ def flocking_features_sharded(
     comm_radius2,
     axis_name: str = "ap",
     mode: str = "ring",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sharded ``compute_helpers`` (reference flocking_relative.py:111-134):
     returns ``(state_values [m, 6], degree [m])`` for this shard's agents.
     Like ``ops.flocking_features_large``, the dense [N, N] network is never
     materialized; aggregate through :func:`adjacency_matmul_sharded`."""
-    s = flocking_sums_sharded(x_local, comm_radius, comm_radius2, axis_name, mode)
+    s = flocking_sums_sharded(
+        x_local, comm_radius, comm_radius2, axis_name, mode, use_pallas, interpret
+    )
     return s[:, 0:6], s[:, 8]
 
 
@@ -184,6 +208,8 @@ def turner_controller_sharded(
     axis_name: str = "ap",
     mode: str = "ring",
     sums: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Centralized Turner expert (reference flocking_relative.py:194-212),
     agent axis sharded.  The velocity-consensus term uses the closed form
@@ -195,7 +221,8 @@ def turner_controller_sharded(
     n = m * jax.lax.axis_size(axis_name)
     if sums is None:
         sums = flocking_sums_sharded(
-            x_local, params.comm_radius, params.comm_radius2, axis_name, mode
+            x_local, params.comm_radius, params.comm_radius2, axis_name, mode,
+            use_pallas, interpret,
         )
     s_gx, s_gy = sums[:, 6], sums[:, 7]
     v_tot = jax.lax.psum(jnp.sum(x_local[:, 2:4], axis=0), axis_name)
@@ -274,6 +301,8 @@ def flocking_step_sharded(
     params: FlockingParams,
     axis_name: str = "ap",
     mode: str = "ring",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One fused expert+dynamics+observation step on a sharded swarm.
 
@@ -284,10 +313,13 @@ def flocking_step_sharded(
     reference's -sum of velocity variances (flocking_relative.py:145-147) —
     is computed from global psum'd moments and is identical on every shard.
     """
-    u_local = turner_controller_sharded(x_local, params, axis_name, mode)
+    u_local = turner_controller_sharded(
+        x_local, params, axis_name, mode, use_pallas=use_pallas, interpret=interpret
+    )
     x2 = _integrate(x_local, u_local, params.dt)
     values, _ = flocking_features_sharded(
-        x2, params.comm_radius, params.comm_radius2, axis_name, mode
+        x2, params.comm_radius, params.comm_radius2, axis_name, mode,
+        use_pallas, interpret,
     )
     n = x_local.shape[0] * jax.lax.axis_size(axis_name)
     v = x2[:, 2:4]
@@ -303,6 +335,8 @@ def flocking_reset_sharded(
     params: FlockingParams,
     axis_name: str = "ap",
     mode: str = "ring",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Rejection-sampling reset with the acceptance test itself sharded.
 
@@ -344,7 +378,8 @@ def flocking_reset_sharded(
 
     def accept(x_local):
         s = flocking_sums_sharded(
-            x_local, params.comm_radius, params.comm_radius2, axis_name, mode
+            x_local, params.comm_radius, params.comm_radius2, axis_name, mode,
+            use_pallas, interpret,
         )
         min_deg = jax.lax.pmin(jnp.min(s[:, 8]), axis_name)
         min_r2 = jax.lax.pmin(jnp.min(s[:, 9]), axis_name)
@@ -375,6 +410,8 @@ def agent_sharded_rollout(
     n_steps: int,
     mesh: Optional[jax.sharding.Mesh] = None,
     mode: str = "ring",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Roll a batch of large swarms over a 2-D (env-batch x agent) mesh.
 
@@ -396,10 +433,14 @@ def agent_sharded_rollout(
 
     def local_fn(keys_local):
         def one_env(key):
-            x0 = flocking_reset_sharded(key, params, ap_axis, mode)
+            x0 = flocking_reset_sharded(
+                key, params, ap_axis, mode, use_pallas, interpret
+            )
 
             def body(x, _):
-                x2, _, reward = flocking_step_sharded(x, params, ap_axis, mode)
+                x2, _, reward = flocking_step_sharded(
+                    x, params, ap_axis, mode, use_pallas, interpret
+                )
                 return x2, reward
 
             x, rewards = jax.lax.scan(body, x0, None, length=n_steps)

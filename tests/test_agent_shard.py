@@ -170,3 +170,50 @@ def test_agent_sharded_rollout_2d_mesh(devices8, mode):
     assert xs.shape == (4, 32, 4)
     assert bool(jnp.all(jnp.isfinite(xs)))
     assert bool(jnp.isfinite(mean_r))
+
+
+@pytest.mark.parametrize("mode", ["ring", "allgather"])
+def test_sums_pallas_tile_matches_dense(mesh8, mode):
+    """The VMEM-tile path (ops.flocking_sums_block per ring step) under
+    shard_map equals the dense kernels (interpret mode on CPU)."""
+    x = _swarm(jax.random.key(4))
+    expected = _dense_sums(x, PARAMS)
+
+    fn = jax.shard_map(
+        lambda xl: flocking_sums_sharded(
+            xl, PARAMS.comm_radius, PARAMS.comm_radius2, "ap", mode,
+            use_pallas=True, interpret=True,
+        ),
+        mesh=mesh8,
+        in_specs=P("ap"),
+        out_specs=P("ap"),
+        # the pallas HLO *interpreter* mixes invariant grid indices with
+        # varying data in its internal dynamic_slice, which trips VMA
+        # checking (JAX suggests this exact workaround); the compiled TPU
+        # path carries explicit vma on the kernel output instead
+        check_vma=False,
+    )
+    got = fn(x)
+    err = np.abs(np.asarray(got) - np.asarray(expected)) / (
+        1.0 + np.abs(np.asarray(expected))
+    )
+    assert err.max() < 1e-4
+
+
+def test_fused_step_pallas_tile(mesh8):
+    x = _swarm(jax.random.key(5))
+    u = turner_controller(x, PARAMS, centralized=True)
+    x2_expected = _integrate(x, u, PARAMS.dt)
+
+    fn = jax.shard_map(
+        lambda xl: flocking_step_sharded(
+            xl, PARAMS, "ap", "ring", use_pallas=True, interpret=True
+        ),
+        mesh=mesh8,
+        in_specs=P("ap"),
+        out_specs=(P("ap"), P("ap"), P()),
+        check_vma=False,
+    )
+    x2, values, reward = fn(x)
+    np.testing.assert_allclose(x2, x2_expected, rtol=2e-4, atol=2e-4)
+    assert bool(jnp.isfinite(reward))

@@ -141,3 +141,72 @@ def test_adjacency_matmul_row_coverage_regression():
     h = jnp.asarray(rng.randn(n, f).astype(np.float32))
     out = adjacency_matmul(x, h, 0.81, interpret=True)
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize("m,k,roff,coff", [(64, 64, 0, 64), (40, 100, 80, 0), (128, 128, 128, 128)])
+def test_flocking_sums_block_matches_tiled_dense(m, k, roff, coff):
+    """Cross-block tile sums equal the same rows/cols of one big dense pass."""
+    from gym_flock_tpu.ops.pallas_flocking import flocking_sums_block
+
+    n = max(roff + m, coff + k)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(n, 4).astype(np.float32) * 2)
+    xr = x[roff : roff + m]
+    xc = x[coff : coff + k]
+    got = flocking_sums_block(xr, xc, roff, coff, 0.9, 0.81, interpret=True)
+
+    # dense expectation over the same (row, col) index sets
+    dx = xr[:, 0][:, None] - xc[:, 0][None, :]
+    dy = xr[:, 1][:, None] - xc[:, 1][None, :]
+    dvx = xr[:, 2][:, None] - xc[:, 2][None, :]
+    dvy = xr[:, 3][:, None] - xc[:, 3][None, :]
+    r2 = dx * dx + dy * dy
+    ids_r = np.arange(roff, roff + m)
+    ids_c = np.arange(coff, coff + k)
+    r2 = jnp.where(jnp.asarray(ids_r[:, None] == ids_c[None, :]), jnp.inf, r2)
+    adj = (r2 < 0.81).astype(jnp.float32)
+    inv = 1.0 / r2
+    gfac = jnp.where(r2 > 0.9, 0.0, 2.0 * inv * (1.0 - inv))
+    want = jnp.stack(
+        [
+            jnp.sum(dvx * adj, axis=1),
+            jnp.sum(dx * inv * inv * adj, axis=1),
+            jnp.sum(dx * inv * adj, axis=1),
+            jnp.sum(dvy * adj, axis=1),
+            jnp.sum(dy * inv * inv * adj, axis=1),
+            jnp.sum(dy * inv * adj, axis=1),
+            jnp.sum(dx * gfac, axis=1),
+            jnp.sum(dy * gfac, axis=1),
+            jnp.sum(adj, axis=1),
+            jnp.min(r2, axis=1),
+        ],
+        axis=1,
+    )
+    err = np.abs(np.asarray(got[:, :10]) - np.asarray(want)) / (1.0 + np.abs(np.asarray(want)))
+    assert err.max() < 1e-4
+
+
+def test_flocking_sums_block_tiling_covers_full_swarm():
+    """Accumulating block tiles over all column blocks == flocking_sums."""
+    from gym_flock_tpu.ops.pallas_flocking import flocking_sums, flocking_sums_block
+
+    n, m = 96, 24
+    x = jnp.asarray(np.random.RandomState(13).randn(n, 4).astype(np.float32) * 2)
+    want = flocking_sums(x, 0.9, 0.81, interpret=True)
+
+    for roff in range(0, n, m):
+        acc = None
+        for coff in range(0, n, m):
+            part = flocking_sums_block(
+                x[roff : roff + m], x[coff : coff + m], roff, coff, 0.9, 0.81,
+                interpret=True,
+            )
+            if acc is None:
+                acc = part
+            else:
+                merged = acc + part
+                acc = merged.at[:, 9].set(jnp.minimum(acc[:, 9], part[:, 9]))
+        got = np.asarray(acc[:, :9])
+        ref = np.asarray(want[roff : roff + m, :9])
+        err = np.abs(got - ref) / (1.0 + np.abs(ref))
+        assert err.max() < 1e-4, f"row block at {roff}: {err.max()}"
