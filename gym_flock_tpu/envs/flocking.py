@@ -611,10 +611,14 @@ class LargeFlockingEnv(FlockingRelativeEnv):
     def controller(self, state, params, centralized=None):
         from gym_flock_tpu.ops.pallas_flocking import turner_controller_large
 
-        # the large path implements the default centralized expert
-        assert centralized in (None, True), "decentralized large expert: use ops kernels"
+        if centralized is None:
+            centralized = params.centralized
         return turner_controller_large(
-            state.x, params.comm_radius, params.comm_radius2, params.action_scalar
+            state.x,
+            params.comm_radius,
+            params.comm_radius2,
+            params.action_scalar,
+            centralized=centralized,
         )
 
     def observation_space(self, params: FlockingParams):

@@ -20,16 +20,23 @@ accumulate into a revisited output block — inputs are streamed from HBM in
 (block, 1)/(1, block) tiles so VMEM stays bounded regardless of N or the
 vmapped batch size.
 
-Channel layout of the [N, 16] ``flocking_sums`` output (padding zeros):
+Channel layout of the [N, 16] outputs (padding zeros):
   0: sum adj*dvx        1: sum adj*dx/r^4   2: sum adj*dx/r^2
   3: sum adj*dvy        4: sum adj*dy/r^4   5: sum adj*dy/r^2
   6: sum grad_x         7: sum grad_y       8: degree (sum adj)
+  -- channels below only with ``channels="full"`` (zeros in the pure-sum
+     "core" set, which accumulates with a plain add and is measurably
+     faster — ``flocking_sums`` computes core) --
+  9: min r^2 (combine across blocks with ``min``; the sharded reset's
+     min-distance acceptance test, reference flocking_relative.py:164)
+  10: sum adj*grad_x    11: sum adj*grad_y  (decentralized expert's
+     adjacency-masked gradient sums, reference flocking_relative.py:201-207)
 
 :func:`flocking_sums_block` is the cross-block form — row agents against a
 *different* column block, with global-index offsets for the diagonal mask —
-used as the per-ring-step tile of the agent-axis-sharded kernels
-(``parallel.agent_shard``).  It adds channel 9: per-row min r^2 (the sharded
-reset's min-distance acceptance test, reference flocking_relative.py:164).
+the per-ring-step tile of the agent-axis-sharded kernels
+(``parallel.agent_shard``); the symmetric :func:`flocking_sums` delegates to
+it with both operands the same block and zero offsets.
 
 adj = r^2 < comm_radius^2 off-diagonal; grad uses the reference's quirky
 cutoff r^2 > comm_radius (NOT squared; flocking_relative.py:225).
@@ -46,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "flocking_sums",
     "flocking_sums_block",
+    "adjacency_matmul_block",
     "turner_controller_large",
     "flocking_features_large",
     "flocking_sums_batched",
@@ -66,101 +74,16 @@ def _round_up(x, m):
 # =============================================================================
 
 
-def _sums_kernel(scal, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref, *, bi, bj):
-    # grid = (B, n_i, n_j): one batch element per leading grid index
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    comm_radius = scal[0]
-    comm_radius2 = scal[1]
-
-    row_ids = i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
-    col_ids = j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
-
-    dx = px_c[0] - px_r[0]  # [bi,1] - [1,bj] -> [bi,bj]
-    dy = py_c[0] - py_r[0]
-    dvx = vx_c[0] - vx_r[0]
-    dvy = vy_c[0] - vy_r[0]
-
-    r2 = dx * dx + dy * dy
-    r2 = jnp.where(row_ids == col_ids, jnp.inf, r2)
-    adj = (r2 < comm_radius2).astype(dx.dtype)
-    inv = 1.0 / r2
-    inv2 = inv * inv
-    # Turner grad factor: -2c/r^4 + 2c/r^2 == c * 2*inv*(1 - inv), zeroed
-    # where r2 > comm_radius (reference quirk) — diagonal killed by inf r2
-    gfac = jnp.where(r2 > comm_radius, 0.0, 2.0 * inv * (1.0 - inv))
-
-    sums = jnp.stack(
-        [
-            jnp.sum(dvx * adj, axis=1),
-            jnp.sum(dx * inv2 * adj, axis=1),
-            jnp.sum(dx * inv * adj, axis=1),
-            jnp.sum(dvy * adj, axis=1),
-            jnp.sum(dy * inv2 * adj, axis=1),
-            jnp.sum(dy * inv * adj, axis=1),
-            jnp.sum(dx * gfac, axis=1),
-            jnp.sum(dy * gfac, axis=1),
-            jnp.sum(adj, axis=1),
-        ],
-        axis=1,
-    )  # [bi, 9]
-    pad = jnp.zeros((bi, N_OUT - 9), dx.dtype)
-    block = jnp.concatenate([sums, pad], axis=1)[None]
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = block
-
-    @pl.when(j > 0)
-    def _():
-        out_ref[:] = out_ref[:] + block
-
-
 def _flocking_sums_impl(x: jax.Array, comm_radius, comm_radius2, interpret: bool = False):
-    squeeze = x.ndim == 2
-    if squeeze:
-        x = x[None]
-    b, n, _ = x.shape
-    dtype = x.dtype
-    # bi must divide n_pad: bj is a multiple of 128 and bi == 128, so padding
-    # to a multiple of bj guarantees full row coverage (a 257..384-agent
-    # swarm once fell through: n_pad wasn't a multiple of bi and the last
-    # row block was never written)
-    bj = min(512, _round_up(n, 128))
-    bi = 128
-    n_pad = _round_up(n, bj)
-
-    pad = n_pad - n
-    pad_pos = jnp.broadcast_to(
-        _PAD_POS * (1.0 + jnp.arange(pad, dtype=dtype)), (b, pad)
+    """Symmetric (all-pairs-of-one-swarm) case: the cross-block kernel with
+    both operands the same block and zero global-index offsets (the id
+    equality then masks exactly the diagonal).  Uses the pure-sum core
+    channel set — the hot FlockingLarge path pays nothing for the sharded
+    schedule's min/masked channels (channels 9..11 read as zeros)."""
+    offs = jnp.zeros((2,), jnp.int32)
+    return _block_sums_impl(
+        x, x, offs, comm_radius, comm_radius2, interpret=interpret, channels="core"
     )
-    px = jnp.concatenate([x[:, :, 0], pad_pos], axis=1)
-    py = jnp.concatenate([x[:, :, 1], -pad_pos], axis=1)
-    zeros = jnp.zeros((b, pad), dtype)
-    vx = jnp.concatenate([x[:, :, 2], zeros], axis=1)
-    vy = jnp.concatenate([x[:, :, 3], zeros], axis=1)
-
-    cols = [v.reshape(b, n_pad, 1) for v in (px, py, vx, vy)]
-    rows = [v.reshape(b, 1, n_pad) for v in (px, py, vx, vy)]
-    scal = jnp.asarray([comm_radius, comm_radius2], dtype)
-
-    col_spec = pl.BlockSpec((1, bi, 1), lambda bb, i, j, *_: (bb, i, 0))
-    row_spec = pl.BlockSpec((1, 1, bj), lambda bb, i, j, *_: (bb, 0, j))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, n_pad // bi, n_pad // bj),
-        in_specs=[col_spec] * 4 + [row_spec] * 4,
-        out_specs=pl.BlockSpec((1, bi, N_OUT), lambda bb, i, j, *_: (bb, i, 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(_sums_kernel, bi=bi, bj=bj),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, N_OUT), dtype),
-        interpret=interpret,
-    )(scal, *cols, *rows)
-    out = out[:, :n]
-    return out[0] if squeeze else out
 
 
 @functools.partial(jax.custom_batching.custom_vmap)
@@ -218,18 +141,35 @@ def flocking_features_large(x: jax.Array, comm_radius, comm_radius2, interpret=F
 
 
 def turner_controller_large(
-    x: jax.Array, comm_radius, comm_radius2, action_scalar, interpret: bool = False
+    x: jax.Array,
+    comm_radius,
+    comm_radius2,
+    action_scalar,
+    interpret: bool = False,
+    centralized: bool = True,
 ):
-    """Centralized Turner expert via the fused kernel (large-N path).
+    """Turner expert via the fused kernel (large-N path).
 
-    Uses the closed form sum_j (v_i - v_j) = N v_i - sum_j v_j for the
-    velocity-consensus term, and the kernel's cutoff-masked gradient sums.
+    Centralized: the closed form sum_j (v_i - v_j) = N v_i - sum_j v_j for
+    the velocity-consensus term plus the kernel's cutoff-masked gradient
+    sums.  Decentralized (reference flocking_relative.py:201-207): both
+    terms additionally masked by the adjacency — channels 0/3 and 10/11.
     """
     n = x.shape[0]
-    s = flocking_sums(x, comm_radius, comm_radius2, interpret=interpret)
-    s_gx, s_gy = s[:, 6], s[:, 7]
-    s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
-    s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+    if centralized:
+        s = flocking_sums(x, comm_radius, comm_radius2, interpret=interpret)
+        s_gx, s_gy = s[:, 6], s[:, 7]
+        s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+        s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+    else:
+        # the masked channels 10/11 exist only in the "full" channel set
+        # (flocking_sums computes the cheaper pure-sum core set)
+        s = flocking_sums_block(
+            x, x, 0, 0, comm_radius, comm_radius2, interpret=interpret,
+            channels="full",
+        )
+        s_gx, s_gy = s[:, 10], s[:, 11]
+        s_dvx, s_dvy = s[:, 0], s[:, 3]
     controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
     return jnp.clip(controls, -10.0, 10.0) / action_scalar
 
@@ -240,7 +180,8 @@ def turner_controller_large(
 
 
 def _block_sums_kernel(
-    scal, offs, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref, *, bi, bj
+    scal, offs, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref, *, bi, bj,
+    channels
 ):
     # grid = (B, m_i, k_j); offs = (global row offset, global col offset)
     i = pl.program_id(1)
@@ -263,22 +204,25 @@ def _block_sums_kernel(
     inv2 = inv * inv
     gfac = jnp.where(r2 > comm_radius, 0.0, 2.0 * inv * (1.0 - inv))
 
-    sums = jnp.stack(
-        [
-            jnp.sum(dvx * adj, axis=1),
-            jnp.sum(dx * inv2 * adj, axis=1),
-            jnp.sum(dx * inv * adj, axis=1),
-            jnp.sum(dvy * adj, axis=1),
-            jnp.sum(dy * inv2 * adj, axis=1),
-            jnp.sum(dy * inv * adj, axis=1),
-            jnp.sum(dx * gfac, axis=1),
-            jnp.sum(dy * gfac, axis=1),
-            jnp.sum(adj, axis=1),
+    chans = [
+        jnp.sum(dvx * adj, axis=1),
+        jnp.sum(dx * inv2 * adj, axis=1),
+        jnp.sum(dx * inv * adj, axis=1),
+        jnp.sum(dvy * adj, axis=1),
+        jnp.sum(dy * inv2 * adj, axis=1),
+        jnp.sum(dy * inv * adj, axis=1),
+        jnp.sum(dx * gfac, axis=1),
+        jnp.sum(dy * gfac, axis=1),
+        jnp.sum(adj, axis=1),
+    ]
+    if channels == "full":
+        chans += [
             jnp.min(r2, axis=1),  # channel 9: per-row min r^2
-        ],
-        axis=1,
-    )  # [bi, 10]
-    pad = jnp.zeros((bi, N_OUT - 10), dx.dtype)
+            jnp.sum(dx * gfac * adj, axis=1),  # 10/11: adjacency-masked grad
+            jnp.sum(dy * gfac * adj, axis=1),  # sums (decentralized expert)
+        ]
+    sums = jnp.stack(chans, axis=1)  # [bi, 9 or 12]
+    pad = jnp.zeros((bi, N_OUT - len(chans)), dx.dtype)
     block = jnp.concatenate([sums, pad], axis=1)[None]
 
     @pl.when(j == 0)
@@ -288,26 +232,46 @@ def _block_sums_kernel(
     @pl.when(j > 0)
     def _():
         prev = out_ref[:]
-        ch = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 2)
-        # channel 9 combines by min, everything else by sum
-        out_ref[:] = jnp.where(ch == 9, jnp.minimum(prev, block), prev + block)
+        if channels == "full":
+            ch = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 2)
+            # channel 9 combines by min, everything else by sum
+            out_ref[:] = jnp.where(ch == 9, jnp.minimum(prev, block), prev + block)
+        else:
+            # pure-sum channel set: plain accumulate (measured 17% faster
+            # than the select-merge on the symmetric hot path)
+            out_ref[:] = prev + block
 
 
-def _pad_block(xb, n_pad, dtype):
-    """Pad agents parked at distinct far positions: adj/gfac contribute 0 and
-    pad-pad pairs never coincide."""
+def _pad_coords(xb, n_pad, dtype, salt=0.0):
+    """Pad positions parked on a far-away ladder: adj/gfac contribute 0.
+    ``salt`` (fraction of a ladder rung) displaces one side's ladder so that
+    row pads and col pads of DIFFERENT blocks never coincide — a coincident
+    pad pair with distinct global ids would have r2=0 and produce
+    0 * (-inf) = NaN in discarded rows (poisoning jax_debug_nans runs)."""
     b, n, _ = xb.shape
     pad = n_pad - n
-    ppos = jnp.broadcast_to(_PAD_POS * (1.0 + jnp.arange(pad, dtype=dtype)), (b, pad))
-    zeros = jnp.zeros((b, pad), dtype)
+    ppos = jnp.broadcast_to(
+        _PAD_POS * (1.0 + salt + jnp.arange(pad, dtype=dtype)), (b, pad)
+    )
     px = jnp.concatenate([xb[:, :, 0], ppos], axis=1)
     py = jnp.concatenate([xb[:, :, 1], -ppos], axis=1)
+    return px, py
+
+
+def _pad_block(xb, n_pad, dtype, salt=0.0):
+    """Pad full agent states (positions on the far ladder, zero velocities)."""
+    b, n, _ = xb.shape
+    px, py = _pad_coords(xb, n_pad, dtype, salt)
+    zeros = jnp.zeros((b, n_pad - n), dtype)
     vx = jnp.concatenate([xb[:, :, 2], zeros], axis=1)
     vy = jnp.concatenate([xb[:, :, 3], zeros], axis=1)
     return px, py, vx, vy
 
 
-def _block_sums_impl(xr, xc, offs, comm_radius, comm_radius2, interpret=False, vma=None):
+def _block_sums_impl(
+    xr, xc, offs, comm_radius, comm_radius2, interpret=False, vma=None,
+    channels="full",
+):
     squeeze = xr.ndim == 2
     if squeeze:
         xr, xc = xr[None], xc[None]
@@ -320,7 +284,7 @@ def _block_sums_impl(xr, xc, offs, comm_radius, comm_radius2, interpret=False, v
     k_pad = _round_up(k, bj)
 
     px, py, vx, vy = _pad_block(xr, m_pad, dtype)
-    qx, qy, wx, wy = _pad_block(xc, k_pad, dtype)
+    qx, qy, wx, wy = _pad_block(xc, k_pad, dtype, salt=0.5)
     cols = [v.reshape(b, m_pad, 1) for v in (px, py, vx, vy)]
     rows = [v.reshape(b, 1, k_pad) for v in (qx, qy, wx, wy)]
     scal = jnp.asarray([comm_radius, comm_radius2], dtype)
@@ -339,7 +303,7 @@ def _block_sums_impl(xr, xc, offs, comm_radius, comm_radius2, interpret=False, v
         else jax.ShapeDtypeStruct((b, m_pad, N_OUT), dtype, vma=frozenset(vma))
     )
     out = pl.pallas_call(
-        functools.partial(_block_sums_kernel, bi=bi, bj=bj),
+        functools.partial(_block_sums_kernel, bi=bi, bj=bj, channels=channels),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -348,10 +312,12 @@ def _block_sums_impl(xr, xc, offs, comm_radius, comm_radius2, interpret=False, v
     return out[0] if squeeze else out
 
 
-def _make_block_sums_vmappable(vma):
+def _make_block_sums_vmappable(vma, channels):
+    kw = dict(vma=vma, channels=channels)
+
     @jax.custom_batching.custom_vmap
     def _block_sums_vmappable(xr, xc, offs, scal):
-        return _block_sums_impl(xr, xc, offs, scal[0], scal[1], vma=vma)
+        return _block_sums_impl(xr, xc, offs, scal[0], scal[1], **kw)
 
 
     @_block_sums_vmappable.def_vmap
@@ -360,7 +326,7 @@ def _make_block_sums_vmappable(vma):
         xr_b, xc_b, offs_b, scal_b = in_batched
         assert not scal_b and not offs_b, "vmap over radii/offsets unsupported"
         if not (xr_b or xc_b):
-            return _block_sums_impl(xr, xc, offs, scal[0], scal[1], vma=vma), False
+            return _block_sums_impl(xr, xc, offs, scal[0], scal[1], **kw), False
         if not xr_b:
             xr = jnp.broadcast_to(xr[None], (axis_size,) + xr.shape)
         if not xc_b:
@@ -373,10 +339,10 @@ def _make_block_sums_vmappable(vma):
                 offs,
                 scal[0],
                 scal[1],
-                vma=vma,
+                **kw,
             )
             return out.reshape(lead + out.shape[1:]), True
-        return _block_sums_impl(xr, xc, offs, scal[0], scal[1], vma=vma), True
+        return _block_sums_impl(xr, xc, offs, scal[0], scal[1], **kw), True
 
     return _block_sums_vmappable
 
@@ -384,10 +350,11 @@ def _make_block_sums_vmappable(vma):
 _BLOCK_SUMS_VMAPPABLE_CACHE = {}
 
 
-def _block_sums_vmappable_for(vma):
-    key = None if vma is None else frozenset(vma)
+def _block_sums_vmappable_for(vma, channels):
+    vkey = None if vma is None else frozenset(vma)
+    key = (vkey, channels)
     if key not in _BLOCK_SUMS_VMAPPABLE_CACHE:
-        _BLOCK_SUMS_VMAPPABLE_CACHE[key] = _make_block_sums_vmappable(key)
+        _BLOCK_SUMS_VMAPPABLE_CACHE[key] = _make_block_sums_vmappable(vkey, channels)
     return _BLOCK_SUMS_VMAPPABLE_CACHE[key]
 
 
@@ -400,11 +367,15 @@ def flocking_sums_block(
     comm_radius2,
     interpret: bool = False,
     vma=None,
+    channels: str = "full",
 ):
     """Cross-block flocking reductions: row agents ``xr`` [m, 4] (or [B, m, 4])
     against a column block ``xc`` [k, 4], returning [m, 16] channel sums
-    (module docstring; channel 9 = per-row min r^2, combine across blocks
-    with ``min``; channels 0..8 combine with ``+``).
+    (layout in the module docstring; channel 9 combines across blocks with
+    ``min``, all others with ``+``).  ``channels="core"`` computes only the
+    pure-sum channels 0..8 (plain accumulate — measurably faster; channels
+    9..11 read as zeros), ``"full"`` adds min-r2 and the adjacency-masked
+    gradient sums.
 
     ``row_offset``/``col_offset`` are the blocks' global agent indices — the
     self-pair mask of :func:`flocking_sums` becomes a global-id equality
@@ -416,10 +387,11 @@ def flocking_sums_block(
     offs = jnp.asarray([row_offset, col_offset], jnp.int32)
     if interpret:
         return _block_sums_impl(
-            xr, xc, offs, comm_radius, comm_radius2, interpret=True, vma=vma
+            xr, xc, offs, comm_radius, comm_radius2, interpret=True, vma=vma,
+            channels=channels,
         )
     scal = jnp.asarray([comm_radius, comm_radius2], jnp.result_type(xr.dtype))
-    return _block_sums_vmappable_for(vma)(xr, xc, offs, scal)
+    return _block_sums_vmappable_for(vma, channels)(xr, xc, offs, scal)
 
 
 # =============================================================================
@@ -427,15 +399,17 @@ def flocking_sums_block(
 # =============================================================================
 
 
-def _adj_matmul_kernel(scal, px_c, py_c, px_r, py_r, h_ref, out_ref, deg_ref, *, bi, bj, mean_pool):
-    # grid = (B, n_i, n_j)
+def _adj_matmul_kernel(
+    scal, offs, px_c, py_c, px_r, py_r, h_ref, out_ref, deg_ref, *, bi, bj, mean_pool
+):
+    # grid = (B, m_i, k_j); offs = (global row offset, global col offset)
     i = pl.program_id(1)
     j = pl.program_id(2)
     n_j = pl.num_programs(2)
     cr2 = scal[0]
 
-    row_ids = i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
-    col_ids = j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
+    row_ids = offs[0] + i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
+    col_ids = offs[1] + j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
 
     dx = px_c[0] - px_r[0]
     dy = py_c[0] - py_r[0]
@@ -464,30 +438,36 @@ def _adj_matmul_kernel(scal, px_c, py_c, px_r, py_r, h_ref, out_ref, deg_ref, *,
             out_ref[:] = out_ref[:] / deg
 
 
-def _adj_matmul_impl(x, h, comm_radius2, mean_pool=True, interpret=False):
-    squeeze = x.ndim == 2
+def _adj_matmul_impl(
+    xr, xc, h, offs, comm_radius2, mean_pool=False, interpret=False, vma=None,
+    return_deg=False,
+):
+    """Cross-block (A(xr, xc) @ H_block, degree).  ``xr`` [B?, m, >=2] row
+    positions, ``xc``/``h`` [B?, k, ...] column block; ``offs`` global index
+    offsets for the self-pair mask.  ``mean_pool`` may only be used for a
+    single complete pass (symmetric case) — partial blocks must combine
+    out/deg first and normalize after."""
+    squeeze = xr.ndim == 2
     if squeeze:
-        x, h = x[None], h[None]
-    b, n, _ = x.shape
+        xr, xc, h = xr[None], xc[None], h[None]
+    b, m, _ = xr.shape
+    k = xc.shape[1]
     f = h.shape[-1]
-    # see flocking_sums: bi divides n_pad by construction
-    bj = min(512, _round_up(n, 128))
     bi = 128
-    n_pad = _round_up(n, bj)
-    pad = n_pad - n
-    ppos = jnp.broadcast_to(
-        _PAD_POS * (1.0 + jnp.arange(pad, dtype=x.dtype)), (b, pad)
-    )
-    px = jnp.concatenate([x[:, :, 0], ppos], axis=1)
-    py = jnp.concatenate([x[:, :, 1], -ppos], axis=1)
-    hp = jnp.concatenate([h, jnp.zeros((b, pad, f), h.dtype)], axis=1)
-    scal = jnp.asarray([comm_radius2], x.dtype)
+    m_pad = _round_up(m, bi)
+    bj = min(512, _round_up(k, 128))
+    k_pad = _round_up(k, bj)
+
+    px, py = _pad_coords(xr, m_pad, xr.dtype)
+    qx, qy = _pad_coords(xc, k_pad, xc.dtype, salt=0.5)
+    hp = jnp.concatenate([h, jnp.zeros((b, k_pad - k, f), h.dtype)], axis=1)
+    scal = jnp.asarray([comm_radius2], xr.dtype)
 
     col_spec = pl.BlockSpec((1, bi, 1), lambda bb, i, j, *_: (bb, i, 0))
     row_spec = pl.BlockSpec((1, 1, bj), lambda bb, i, j, *_: (bb, 0, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, n_pad // bi, n_pad // bj),
+        num_scalar_prefetch=2,
+        grid=(b, m_pad // bi, k_pad // bj),
         in_specs=[col_spec, col_spec, row_spec, row_spec,
                   pl.BlockSpec((1, bj, f), lambda bb, i, j, *_: (bb, j, 0))],
         out_specs=(
@@ -495,28 +475,38 @@ def _adj_matmul_impl(x, h, comm_radius2, mean_pool=True, interpret=False):
             pl.BlockSpec((1, bi, 1), lambda bb, i, j, *_: (bb, i, 0)),
         ),
     )
-    out, _deg = pl.pallas_call(
+
+    def shape(dims):
+        if vma is None:
+            return jax.ShapeDtypeStruct(dims, jnp.float32)
+        return jax.ShapeDtypeStruct(dims, jnp.float32, vma=frozenset(vma))
+
+    out, deg = pl.pallas_call(
         functools.partial(_adj_matmul_kernel, bi=bi, bj=bj, mean_pool=mean_pool),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_pad, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
-        ),
+        out_shape=(shape((b, m_pad, f)), shape((b, m_pad, 1))),
         interpret=interpret,
-    )(scal, px.reshape(b, -1, 1), py.reshape(b, -1, 1),
-      px.reshape(b, 1, -1), py.reshape(b, 1, -1), hp)
-    out = out[:, :n].astype(h.dtype)
-    return out[0] if squeeze else out
+    )(scal, offs, px.reshape(b, -1, 1), py.reshape(b, -1, 1),
+      qx.reshape(b, 1, -1), qy.reshape(b, 1, -1), hp)
+    out = out[:, :m].astype(h.dtype)
+    deg = deg[:, :m, 0]
+    if squeeze:
+        out, deg = out[0], deg[0]
+    return (out, deg) if return_deg else out
+
+
+def _zero_offs():
+    return jnp.zeros((2,), jnp.int32)
 
 
 @functools.partial(jax.custom_batching.custom_vmap)
 def _adj_matmul_mean(x, h, scal):
-    return _adj_matmul_impl(x, h, scal[0], mean_pool=True)
+    return _adj_matmul_impl(x, x, h, _zero_offs(), scal[0], mean_pool=True)
 
 
 @functools.partial(jax.custom_batching.custom_vmap)
 def _adj_matmul_sum(x, h, scal):
-    return _adj_matmul_impl(x, h, scal[0], mean_pool=False)
+    return _adj_matmul_impl(x, x, h, _zero_offs(), scal[0], mean_pool=False)
 
 
 def _adj_vmap_rule(mean_pool):
@@ -524,7 +514,7 @@ def _adj_vmap_rule(mean_pool):
         x_b, h_b, scal_b = in_batched
         assert not scal_b, "vmap over the radius unsupported; close over it"
         assert x_b and h_b, "x and h must batch together"
-        out = _adj_matmul_impl(x, h, scal[0], mean_pool=mean_pool)
+        out = _adj_matmul_impl(x, x, h, _zero_offs(), scal[0], mean_pool=mean_pool)
         return out, True
 
     return rule
@@ -532,6 +522,70 @@ def _adj_vmap_rule(mean_pool):
 
 _adj_matmul_mean.def_vmap(_adj_vmap_rule(True))
 _adj_matmul_sum.def_vmap(_adj_vmap_rule(False))
+
+
+def _make_adj_block_vmappable(vma):
+    kw = dict(vma=vma, mean_pool=False, return_deg=True)
+
+    @jax.custom_batching.custom_vmap
+    def fn(xr, xc, h, offs, scal):
+        return _adj_matmul_impl(xr, xc, h, offs, scal[0], **kw)
+
+    @fn.def_vmap
+    def rule(axis_size, in_batched, xr, xc, h, offs, scal):
+        xr_b, xc_b, h_b, offs_b, scal_b = in_batched
+        assert not scal_b and not offs_b, "vmap over radius/offsets unsupported"
+        def bcast(v, batched):
+            return v if batched else jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+        xr, xc, h = bcast(xr, xr_b), bcast(xc, xc_b), bcast(h, h_b)
+        if xr.ndim > 3:
+            lead = xr.shape[:-2]
+            out, deg = _adj_matmul_impl(
+                xr.reshape((-1,) + xr.shape[-2:]),
+                xc.reshape((-1,) + xc.shape[-2:]),
+                h.reshape((-1,) + h.shape[-2:]),
+                offs, scal[0], **kw,
+            )
+            return (out.reshape(lead + out.shape[1:]),
+                    deg.reshape(lead + deg.shape[1:])), (True, True)
+        return _adj_matmul_impl(xr, xc, h, offs, scal[0], **kw), (True, True)
+
+    return fn
+
+
+_ADJ_BLOCK_VMAPPABLE_CACHE = {}
+
+
+def _adj_block_vmappable_for(vma):
+    key = None if vma is None else frozenset(vma)
+    if key not in _ADJ_BLOCK_VMAPPABLE_CACHE:
+        _ADJ_BLOCK_VMAPPABLE_CACHE[key] = _make_adj_block_vmappable(key)
+    return _ADJ_BLOCK_VMAPPABLE_CACHE[key]
+
+
+def adjacency_matmul_block(
+    xr: jax.Array,
+    xc: jax.Array,
+    h: jax.Array,
+    row_offset,
+    col_offset,
+    comm_radius2,
+    interpret: bool = False,
+    vma=None,
+):
+    """Partial GNN aggregation tile for the agent-sharded ring schedule:
+    ``(A(xr, xc) @ H_block, degree)`` with the [m, k] adjacency tile built
+    from positions in VMEM and contracted on the MXU.  Combine partials by
+    summing both outputs across column blocks, then mean-pool normalize —
+    see ``parallel.agent_shard.adjacency_matmul_sharded(use_pallas=True)``."""
+    offs = jnp.asarray([row_offset, col_offset], jnp.int32)
+    if interpret:
+        return _adj_matmul_impl(
+            xr, xc, h, offs, comm_radius2, mean_pool=False, interpret=True,
+            vma=vma, return_deg=True,
+        )
+    scal = jnp.asarray([comm_radius2], jnp.result_type(xr.dtype))
+    return _adj_block_vmappable_for(vma)(xr, xc, h, offs, scal)
 
 
 @functools.partial(jax.jit, static_argnames=("mean_pool", "interpret"))
@@ -556,7 +610,9 @@ def adjacency_matmul(
     compile at any batch size).
     """
     if interpret:
-        return _adj_matmul_impl(x, h, comm_radius2, mean_pool=mean_pool, interpret=True)
+        return _adj_matmul_impl(
+            x, x, h, _zero_offs(), comm_radius2, mean_pool=mean_pool, interpret=True
+        )
     scal = jnp.asarray([comm_radius2], jnp.result_type(x.dtype))
     fn = _adj_matmul_mean if mean_pool else _adj_matmul_sum
     return fn(x, h, scal)

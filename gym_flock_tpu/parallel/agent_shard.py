@@ -23,10 +23,11 @@ Everything here is written against a named mesh axis and is meant to be
 called inside ``jax.shard_map`` (see :func:`agent_sharded_rollout` for the
 assembled pattern).
 
-Channel-sum layout matches ``ops.pallas_flocking.flocking_sums`` channels
-0..8 (6 observation features, 2 Turner gradient sums, degree); channel 9
-adds the per-row min squared distance (used by the sharded reset acceptance
-test, reference flocking_relative.py:164).
+Channel-sum layout matches ``ops.pallas_flocking.flocking_sums`` (module
+docstring there): 0-5 observation features, 6/7 Turner gradient sums,
+8 degree, 9 per-row min squared distance (the sharded reset acceptance
+test, reference flocking_relative.py:164), 10/11 adjacency-masked gradient
+sums (decentralized expert).
 """
 from __future__ import annotations
 
@@ -74,11 +75,13 @@ def _block_sums(
     comm_radius2,
 ) -> jax.Array:
     """Pairwise reductions of row block ``xr`` [m,4] against column block
-    ``xc`` [k,4]; returns [m, 10] partial channel sums (module docstring).
+    ``xc`` [k,4]; returns [m, 12] partial channel sums.
 
     ``row_ids`` / ``col_ids`` are *global* agent indices — the diagonal
     (self-pair) mask of the dense kernel (envs.flocking._pairwise_channels)
-    becomes a global-id equality test across blocks.
+    becomes a global-id equality test across blocks.  Channel layout matches
+    ``ops.pallas_flocking`` (module docstring there): 0-5 features, 6/7
+    gradient sums, 8 degree, 9 min-r2, 10/11 adjacency-masked gradient sums.
     """
     dx = xr[:, 0, None] - xc[None, :, 0]
     dy = xr[:, 1, None] - xc[None, :, 1]
@@ -104,6 +107,8 @@ def _block_sums(
             jnp.sum(dy * gfac, axis=1),
             jnp.sum(adj, axis=1),
             jnp.min(r2, axis=1),
+            jnp.sum(dx * gfac * adj, axis=1),
+            jnp.sum(dy * gfac * adj, axis=1),
         ),
         axis=1,
     )
@@ -127,18 +132,23 @@ def flocking_sums_sharded(
     mode: str = "ring",
     use_pallas: bool = False,
     interpret: bool = False,
+    channels: str = "full",
 ) -> jax.Array:
     """All per-agent pairwise reductions, agent axis sharded over ``axis_name``.
 
     ``x_local``: this shard's [m, 4] row block of the global [N, 4] swarm
-    (N = m * axis size).  Returns this shard's [m, 10] channel sums — the
-    sharded counterpart of ``ops.flocking_sums`` (plus min-r2, channel 9).
+    (N = m * axis size).  Returns this shard's [m, 12] channel sums — the
+    sharded counterpart of ``ops.flocking_sums`` (same channel layout).
     Call inside ``shard_map``.
 
     ``use_pallas`` routes each tile through the VMEM-resident
     ``ops.flocking_sums_block`` kernel instead of XLA — the choice for large
     per-shard blocks, where the XLA path materializes O(m * k) channel
     temporaries in HBM (``interpret`` is for CPU testing of that path).
+    ``channels="core"`` skips the min-r2/masked-gradient channels in the
+    Pallas path (they read as zeros; plain-add accumulate, measurably
+    faster) — callers that only need channels 0..8 pass it; the XLA path
+    always computes everything and relies on DCE of unused sums.
     """
     m = x_local.shape[0]
     p = jax.lax.axis_size(axis_name)
@@ -148,11 +158,15 @@ def flocking_sums_sharded(
     if use_pallas:
         from gym_flock_tpu.ops.pallas_flocking import flocking_sums_block
 
+        # the kernel output varies over every axis the input does (e.g. the
+        # dp axis too on a 2-D mesh), not just the agent axis
+        vma = getattr(jax.typeof(x_local), "vma", None) or (axis_name,)
+
         def tile_sums(xc, col_off, col_ids):
             return flocking_sums_block(
                 x_local, xc, me * m, col_off, comm_radius, comm_radius2,
-                interpret=interpret, vma=(axis_name,),
-            )[:, :10]
+                interpret=interpret, vma=vma, channels=channels,
+            )[:, :12]
 
     else:
 
@@ -168,19 +182,22 @@ def flocking_sums_sharded(
 
     perm = _ring_perm(p)
 
+    # own block first, then p-1 permute-and-compute steps (the scan body
+    # permutes BEFORE computing so the final iteration's result is used —
+    # p-1 collectives total, not p)
+    part0 = tile_sums(x_local, me * m, row_ids)
+
     def body(carry, s):
-        block = carry
+        block = jax.lax.ppermute(carry, axis_name, perm)
         src = jnp.mod(me + s, p)
         part = tile_sums(block, src * m, src * m + jnp.arange(m))
-        # min-r2 (channel 9) combines by min, everything else by sum; handled
-        # by the caller-side combine below
-        block = jax.lax.ppermute(block, axis_name, perm)
         return block, part
 
-    _, parts = jax.lax.scan(body, x_local, jnp.arange(p))  # [p, m, 10]
-    sums = jnp.sum(parts[:, :, :9], axis=0)
-    min_r2 = jnp.min(parts[:, :, 9], axis=0)
-    return jnp.concatenate([sums, min_r2[:, None]], axis=1)
+    _, parts = jax.lax.scan(body, x_local, jnp.arange(1, p))  # [p-1, m, 12]
+    parts = jnp.concatenate([part0[None], parts], axis=0)
+    # min-r2 (channel 9) combines by min, everything else by sum
+    sums = jnp.sum(parts, axis=0)
+    return sums.at[:, 9].set(jnp.min(parts[:, :, 9], axis=0))
 
 
 def flocking_features_sharded(
@@ -197,7 +214,8 @@ def flocking_features_sharded(
     Like ``ops.flocking_features_large``, the dense [N, N] network is never
     materialized; aggregate through :func:`adjacency_matmul_sharded`."""
     s = flocking_sums_sharded(
-        x_local, comm_radius, comm_radius2, axis_name, mode, use_pallas, interpret
+        x_local, comm_radius, comm_radius2, axis_name, mode, use_pallas,
+        interpret, channels="core",
     )
     return s[:, 0:6], s[:, 8]
 
@@ -210,24 +228,35 @@ def turner_controller_sharded(
     sums: Optional[jax.Array] = None,
     use_pallas: bool = False,
     interpret: bool = False,
+    centralized: Optional[bool] = None,
 ) -> jax.Array:
-    """Centralized Turner expert (reference flocking_relative.py:194-212),
-    agent axis sharded.  The velocity-consensus term uses the closed form
-    ``sum_j (v_i - v_j) = N v_i - sum_j v_j`` — the global velocity sum is
-    one ``psum``, not an N^2 pass.  Pass precomputed ``sums`` (from
-    :func:`flocking_sums_sharded`) to share the pairwise pass with the
-    observation kernel, as the fused step does."""
+    """Turner expert (reference flocking_relative.py:194-212), agent axis
+    sharded.  Centralized mode's velocity-consensus term uses the closed
+    form ``sum_j (v_i - v_j) = N v_i - sum_j v_j`` — the global velocity sum
+    is one ``psum``, not an N^2 pass; decentralized mode (adjacency-masked
+    sums, reference :201-207) reads the masked channels 0/3 and 10/11.
+    ``centralized`` defaults to ``params.centralized`` like the dense
+    expert.  Pass precomputed ``sums`` (from :func:`flocking_sums_sharded`)
+    to share the pairwise pass with the observation kernel, as the fused
+    step does."""
+    if centralized is None:
+        centralized = params.centralized
     m = x_local.shape[0]
     n = m * jax.lax.axis_size(axis_name)
     if sums is None:
         sums = flocking_sums_sharded(
             x_local, params.comm_radius, params.comm_radius2, axis_name, mode,
             use_pallas, interpret,
+            channels="core" if centralized else "full",
         )
-    s_gx, s_gy = sums[:, 6], sums[:, 7]
-    v_tot = jax.lax.psum(jnp.sum(x_local[:, 2:4], axis=0), axis_name)
-    s_dvx = n * x_local[:, 2] - v_tot[0]
-    s_dvy = n * x_local[:, 3] - v_tot[1]
+    if centralized:
+        s_gx, s_gy = sums[:, 6], sums[:, 7]
+        v_tot = jax.lax.psum(jnp.sum(x_local[:, 2:4], axis=0), axis_name)
+        s_dvx = n * x_local[:, 2] - v_tot[0]
+        s_dvy = n * x_local[:, 3] - v_tot[1]
+    else:
+        s_gx, s_gy = sums[:, 10], sums[:, 11]
+        s_dvx, s_dvy = sums[:, 0], sums[:, 3]
     controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
     return jnp.clip(controls, -10.0, 10.0) / params.action_scalar
 
@@ -239,6 +268,8 @@ def adjacency_matmul_sharded(
     axis_name: str = "ap",
     mode: str = "ring",
     mean_pool: bool = True,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """(A(x) @ H) with both operands sharded along the agent axis.
 
@@ -248,45 +279,55 @@ def adjacency_matmul_sharded(
     from positions and contracts it against the visiting [m, F] feature
     block on the MXU.  ``mean_pool`` divides by degree exactly like
     ``ops.mean_pool_normalize`` (zero-degree rows pass through unscaled).
+    ``use_pallas`` routes each tile through ``ops.adjacency_matmul_block``
+    (adjacency built in VMEM, never in HBM).
     """
     m = x_local.shape[0]
     p = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
     row_ids = _local_ids(m, axis_name)
 
-    def tile(xc, col_ids):
-        dx = x_local[:, 0, None] - xc[None, :, 0]
-        dy = x_local[:, 1, None] - xc[None, :, 1]
-        r2 = dx * dx + dy * dy
-        adj = (r2 < comm_radius2) & (row_ids[:, None] != col_ids[None, :])
-        return adj.astype(h_local.dtype)
+    if use_pallas:
+        from gym_flock_tpu.ops.pallas_flocking import adjacency_matmul_block
+
+        vma = getattr(jax.typeof(x_local), "vma", None) or (axis_name,)
+
+        def tile_mm(xc, hb, col_off, col_ids):
+            out, deg = adjacency_matmul_block(
+                x_local, xc, hb, me * m, col_off, comm_radius2,
+                interpret=interpret, vma=vma,
+            )
+            return out.astype(h_local.dtype), deg.astype(h_local.dtype)
+
+    else:
+
+        def tile_mm(xc, hb, col_off, col_ids):
+            dx = x_local[:, 0, None] - xc[None, :, 0]
+            dy = x_local[:, 1, None] - xc[None, :, 1]
+            r2 = dx * dx + dy * dy
+            adj = (r2 < comm_radius2) & (row_ids[:, None] != col_ids[None, :])
+            adj = adj.astype(h_local.dtype)
+            return adj @ hb, jnp.sum(adj, axis=1)
 
     if mode == "allgather":
         x_all = jax.lax.all_gather(x_local, axis_name, tiled=True)
         h_all = jax.lax.all_gather(h_local, axis_name, tiled=True)
-        adj = tile(x_all, jnp.arange(m * p))
-        out = adj @ h_all
-        deg = jnp.sum(adj, axis=1)
+        out, deg = tile_mm(x_all, h_all, 0, jnp.arange(m * p))
     elif mode == "ring":
 
         def body(carry, s):
             xb, hb, acc, deg = carry
-            src = jnp.mod(jax.lax.axis_index(axis_name) + s, p)
-            adj = tile(xb, src * m + jnp.arange(m))
-            acc = acc + adj @ hb
-            deg = deg + jnp.sum(adj, axis=1)
-            xb = jax.lax.ppermute(xb, axis_name, _ring_perm(p))
-            hb = jax.lax.ppermute(hb, axis_name, _ring_perm(p))
-            return (xb, hb, acc, deg), None
+            # permute FIRST so the last iteration's blocks are consumed —
+            # p-1 collectives per pass, and one ppermute over the (x, h)
+            # tuple rather than two
+            xb, hb = jax.lax.ppermute((xb, hb), axis_name, _ring_perm(p))
+            src = jnp.mod(me + s, p)
+            o, d = tile_mm(xb, hb, src * m, src * m + jnp.arange(m))
+            return (xb, hb, acc + o, deg + d), None
 
-        # zeros_like(h_local) inherits h's varying-over-ap type; the fresh
-        # deg zeros are unvarying and must be cast so the scan carry
-        # typechecks under shard_map's VMA tracking
-        acc0 = jnp.zeros_like(h_local)
-        deg0 = jax.lax.pcast(
-            jnp.zeros((m,), h_local.dtype), (axis_name,), to="varying"
-        )
+        acc0, deg0 = tile_mm(x_local, h_local, me * m, me * m + jnp.arange(m))
         (_, _, out, deg), _ = jax.lax.scan(
-            body, (x_local, h_local, acc0, deg0), jnp.arange(p)
+            body, (x_local, h_local, acc0, deg0), jnp.arange(1, p)
         )
     else:
         raise ValueError(f"unknown mode {mode!r}")

@@ -6,6 +6,11 @@ check them against the dense [N, N] kernels of envs/flocking.py — same
 inputs, per-agent outputs equal up to summation-order float error.
 """
 import jax
+
+# other suite files flip this global flag; set it unconditionally so these
+# tests see the same RNG streams standalone as inside the full suite
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -44,12 +49,21 @@ def _dense_sums(x, params):
     """Expected channel sums from the dense kernels (module docstring layout)."""
     values, adj, _, r2 = flocking_features(x, params.comm_radius2)
     dx, dy, _, _, _ = _pairwise_channels(x)
-    gx = jnp.sum(turner_potential_grad(dx, r2, params.comm_radius), axis=1)
-    gy = jnp.sum(turner_potential_grad(dy, r2, params.comm_radius), axis=1)
+    gx_mat = turner_potential_grad(dx, r2, params.comm_radius)
+    gy_mat = turner_potential_grad(dy, r2, params.comm_radius)
     deg = jnp.sum(adj, axis=1)
     min_r2 = jnp.min(r2, axis=1)
     return jnp.concatenate(
-        [values, gx[:, None], gy[:, None], deg[:, None], min_r2[:, None]], axis=1
+        [
+            values,
+            jnp.sum(gx_mat, axis=1)[:, None],
+            jnp.sum(gy_mat, axis=1)[:, None],
+            deg[:, None],
+            min_r2[:, None],
+            jnp.sum(gx_mat * adj, axis=1)[:, None],
+            jnp.sum(gy_mat * adj, axis=1)[:, None],
+        ],
+        axis=1,
     )
 
 
@@ -75,13 +89,16 @@ def test_sums_match_dense(mesh8, mode):
     np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("centralized", [True, False])
 @pytest.mark.parametrize("mode", ["ring", "allgather"])
-def test_controller_matches_dense(mesh8, mode):
+def test_controller_matches_dense(mesh8, mode, centralized):
     x = _swarm(jax.random.key(1))
-    expected = turner_controller(x, PARAMS, centralized=True)
+    expected = turner_controller(x, PARAMS, centralized=centralized)
 
     fn = jax.shard_map(
-        lambda xl: turner_controller_sharded(xl, PARAMS, "ap", mode),
+        lambda xl: turner_controller_sharded(
+            xl, PARAMS, "ap", mode, centralized=centralized
+        ),
         mesh=mesh8,
         in_specs=P("ap"),
         out_specs=P("ap"),
@@ -136,8 +153,13 @@ def test_fused_step_matches_dense(mesh8):
 
 def test_reset_sharded_accepts_and_is_shard_count_invariant(devices8):
     """Reset satisfies the acceptance predicate and the drawn swarm is the
-    same function of the key at any agent-shard count."""
-    params = FlockingParams(n_agents=64)
+    same function of the key at any agent-shard count.
+
+    Default params have a ~0.7% acceptance rate at n=64 (the reference's
+    rejection test is inherently tight, SURVEY.md §5.9b, and our loop is
+    BOUNDED by design) — loosen min-dist so the acceptance rate is ~50% and
+    256 tries make a spurious exhaustion essentially impossible."""
+    params = FlockingParams(n_agents=64, min_dist_thresh=0.05, max_reset_tries=256)
     swarms = {}
     for p in (2, 4):
         mesh = jax.sharding.Mesh(np.asarray(devices8[:p]), ("ap",))
@@ -159,9 +181,16 @@ def test_reset_sharded_accepts_and_is_shard_count_invariant(devices8):
 
 @pytest.mark.parametrize("mode", ["ring", "allgather"])
 def test_agent_sharded_rollout_2d_mesh(devices8, mode):
-    """Full 2-D (dp x ap) fleet rollout runs and returns finite stats."""
+    """Full 2-D (dp x ap) fleet rollout runs and returns finite stats.
+
+    max_reset_tries is capped low: at n=32 the default acceptance rate is
+    ~0 (SURVEY.md §5.9b), and 64 futile ring passes inside the vmapped
+    while_loop are slow enough on the 8-thread virtual CPU mesh to trip
+    XLA's collective-rendezvous stuck detector (a CHECK failure, not a
+    hang).  The bounded-tries semantics themselves are covered by the reset
+    test above."""
     mesh = make_flock_mesh(2, 4, devices8)
-    params = FlockingParams(n_agents=32)
+    params = FlockingParams(n_agents=32, max_reset_tries=4)
     xs, mean_r = jax.jit(
         lambda k: agent_sharded_rollout(
             params, k, n_envs=4, n_steps=3, mesh=mesh, mode=mode
@@ -217,3 +246,29 @@ def test_fused_step_pallas_tile(mesh8):
     x2, values, reward = fn(x)
     np.testing.assert_allclose(x2, x2_expected, rtol=2e-4, atol=2e-4)
     assert bool(jnp.isfinite(reward))
+
+
+@pytest.mark.parametrize("mean_pool", [True, False])
+def test_adjacency_matmul_sharded_pallas_tile(mesh8, mean_pool):
+    """MXU-tile path (ops.adjacency_matmul_block per ring step) == dense."""
+    kx, kh = jax.random.split(jax.random.key(6))
+    x = _swarm(kx).astype(jnp.float32)
+    h = jax.random.normal(kh, (N, 16), jnp.float32)
+
+    _, adj, adj_mean, _ = flocking_features(x, PARAMS.comm_radius2)
+    expected = (adj_mean if mean_pool else adj) @ h
+
+    fn = jax.shard_map(
+        lambda xl, hl: adjacency_matmul_sharded(
+            xl, hl, PARAMS.comm_radius2, "ap", "ring", mean_pool=mean_pool,
+            use_pallas=True, interpret=True,
+        ),
+        mesh=mesh8,
+        in_specs=(P("ap"), P("ap")),
+        out_specs=P("ap"),
+        check_vma=False,  # pallas HLO interpreter limitation, see above
+    )
+    got = fn(x, h)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-4
+    )

@@ -29,13 +29,15 @@ def test_flocking_sums_matches_xla(n):
     np.testing.assert_allclose(np.asarray(s[:, 8]), np.asarray(jnp.sum(adj, axis=1)))
 
 
-def test_pallas_controller_matches_xla():
+@pytest.mark.parametrize("centralized", [True, False])
+def test_pallas_controller_matches_xla(centralized):
     n = 150
     x = jnp.asarray(np.random.RandomState(1).randn(n, 4).astype(np.float32) * 2)
     params = FlockingParams(n_agents=n)
-    u_ref = turner_controller(x, params)
+    u_ref = turner_controller(x, params, centralized=centralized)
     u_pal = turner_controller_large(
-        x, params.comm_radius, params.comm_radius2, params.action_scalar, interpret=True
+        x, params.comm_radius, params.comm_radius2, params.action_scalar,
+        interpret=True, centralized=centralized,
     )
     np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref), atol=1e-4)
 
@@ -210,3 +212,41 @@ def test_flocking_sums_block_tiling_covers_full_swarm():
         ref = np.asarray(want[roff : roff + m, :9])
         err = np.abs(got - ref) / (1.0 + np.abs(ref))
         assert err.max() < 1e-4, f"row block at {roff}: {err.max()}"
+
+
+def test_flocking_sums_block_padding_is_nan_free():
+    """Row pads and col pads of different blocks must never coincide: a
+    coincident pad pair (distinct global ids, r2=0) produces 0*(-inf)=NaN in
+    discarded rows and poisons jax_debug_nans runs (regression: the col-pad
+    ladder is salted by half a rung)."""
+    from gym_flock_tpu.ops.pallas_flocking import flocking_sums_block
+
+    rng = np.random.RandomState(17)
+    x = jnp.asarray(rng.randn(128, 4).astype(np.float32) * 2)
+    with jax.debug_nans(True):
+        out = flocking_sums_block(x[:64], x[64:128], 0, 64, 0.9, 0.81, interpret=True)
+    assert bool(jnp.isfinite(out[:, :9]).all())
+
+
+def test_adjacency_matmul_block_tiling_covers_full():
+    """Summing (out, deg) tiles over all column blocks == adjacency_matmul."""
+    from gym_flock_tpu.ops.pallas_flocking import adjacency_matmul, adjacency_matmul_block
+
+    n, m, f = 96, 32, 8
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(n, 4).astype(np.float32) * 2)
+    h = jnp.asarray(rng.randn(n, f).astype(np.float32))
+    want = adjacency_matmul(x, h, 0.81, mean_pool=False, interpret=True)
+
+    for roff in range(0, n, m):
+        acc = deg = None
+        for coff in range(0, n, m):
+            o, d = adjacency_matmul_block(
+                x[roff : roff + m], x[coff : coff + m], h[coff : coff + m],
+                roff, coff, 0.81, interpret=True,
+            )
+            acc = o if acc is None else acc + o
+            deg = d if deg is None else deg + d
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(want[roff : roff + m]), atol=2e-4
+        )
