@@ -9,7 +9,13 @@ measured *pair rate* at its design point (N=100: ~835 steps/s x 10^4 pairs
 is directly comparable because both numbers include the full 6-channel
 feature reduction.
 
-Usage: python benchmarks/large_flocking_bench.py [N] [B] [ITERS]
+Timing: K kernel calls are chained inside ONE jit through a 1e-30-scale
+data dependency, and the wall clock brackets a scalar fetch.  On the
+remote-attached chip a per-call fetch costs tens of ms of tunnel latency —
+an unchained loop measures the tunnel, not the kernel (first measurement
+of this kernel read 2.8 Gpair/s where the true rate is ~30).
+
+Usage: python benchmarks/large_flocking_bench.py [N] [B] [K] [ITERS]
 Prints one JSON line (same schema as bench.py).
 """
 import json
@@ -31,14 +37,21 @@ BASELINE_PAIRS_PER_S = 835.0 * 100 * 100
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
     x = jax.random.normal(jax.random.key(0), (B, N, 4), jnp.float32) * 2.0
 
     @jax.jit
-    def run(xs):
-        # consume all nine core channels so nothing is dead-code-eliminated
-        return jnp.sum(flocking_sums(xs, 0.9, 0.81)[:, :, :9])
+    def run(x0):
+        def body(xc, _):
+            s = flocking_sums(xc, 0.9, 0.81)
+            # all nine core channels feed the carry: nothing is DCE'd or
+            # CSE'd across the K chained calls
+            return xc + s[:, :, :4] * 1e-30, jnp.sum(s[:, :, :9])
+
+        xK, accs = jax.lax.scan(body, x0, None, length=K)
+        return jnp.sum(accs) + jnp.sum(xK) * 0.0
 
     float(run(x))  # compile + warm (fetch forces completion on remote chips)
     t0 = time.perf_counter()
@@ -46,7 +59,7 @@ def main():
         float(run(x))
     dt = time.perf_counter() - t0
 
-    pairs_per_s = B * N * N * iters / dt
+    pairs_per_s = B * N * N * K * iters / dt
     print(
         json.dumps(
             {

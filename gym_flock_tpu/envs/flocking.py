@@ -143,7 +143,13 @@ def _pairwise_channels(x: jax.Array, obstacle_mask: jax.Array | None = None):
         dvy = jnp.where(vel_keep, dvy, 0.0)
     n = x.shape[0]
     r2 = dx * dx + dy * dy
-    r2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, r2)
+    # diagonal mask as an iota equality, not jnp.eye: the eye constant is a
+    # materialized [N, N] operand that blocks full reduce fusion (measured
+    # 16% slower at N=16k; bit-identical semantics)
+    eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (n, n), 1
+    )
+    r2 = jnp.where(eye, jnp.inf, r2)
     return dx, dy, dvx, dvy, r2
 
 

@@ -10,6 +10,18 @@ HBM.  These kernels keep everything tile-resident:
   (reference flocking_relative.py:124-128), the Turner potential-gradient
   sums of ``controller`` (:204-226), and the neighbor degree.  HBM traffic
   O(N) instead of O(N^2).
+
+  MEASURED ROUTING (v5e, fetch-amortized, best-of-5): the default
+  ``impl="pallas"`` blockwise kernel wins decisively on BATCHED inputs —
+  53.4 vs 26.9 Gpair/s at N=8192/B=8 (the native batch grid dimension;
+  XLA's reduce fusion degrades under a leading batch axis) — and ties
+  single-env (43.0 vs 43.6 at N=16384/B=1).  ``impl="xla"`` is a fused
+  dense formulation with an iota diagonal mask: XLA's multi-output reduce
+  fusion keeps the [.., N, N] domain unmaterialized (O(N) memory, verified
+  by an N=16384 run that would otherwise need tens of GB).  Single-shot
+  per-call fetch timing is meaningless on the remote-attached chip — the
+  tunnel round trip (~20-40 ms) swamps the ~2-6 ms kernel; chain calls
+  inside one jit (see benchmarks/large_flocking_bench.py).
 * :func:`adjacency_matmul` — (A(x) @ H) with the radius-graph adjacency
   generated on the fly per [BI, BJ] tile and fed straight to the MXU; A
   never exists in HBM.  :func:`khop_aggregate` builds the AggregationGNN
@@ -74,6 +86,54 @@ def _round_up(x, m):
 # =============================================================================
 
 
+def _flocking_sums_xla(x: jax.Array, comm_radius, comm_radius2, channels="core"):
+    """Fused dense formulation of the flocking channel sums (module
+    docstring layout).  Every [.., N, N] intermediate is an elementwise
+    producer of the final multi-output reduction, so XLA fuses the whole
+    pass into one traversal of the pair domain — nothing O(N^2) reaches
+    HBM (the diagonal mask is an iota equality, NOT ``jnp.eye``, which
+    would materialize [N, N] and measures 16% slower at N=16k).
+
+    Accepts [N, 4] or any leading batch dims; vmap is native (no
+    custom_vmap needed on this path)."""
+    dtype = x.dtype
+    n = x.shape[-2]
+    px, py, vx, vy = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    dx = px[..., :, None] - px[..., None, :]
+    dy = py[..., :, None] - py[..., None, :]
+    dvx = vx[..., :, None] - vx[..., None, :]
+    dvy = vy[..., :, None] - vy[..., None, :]
+    r2 = dx * dx + dy * dy
+    eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (n, n), 1
+    )
+    r2 = jnp.where(eye, jnp.inf, r2)
+    adj = (r2 < comm_radius2).astype(dtype)
+    inv = 1.0 / r2
+    inv2 = inv * inv
+    gfac = jnp.where(r2 > comm_radius, 0.0, 2.0 * inv * (1.0 - inv))
+    chans = [
+        jnp.sum(dvx * adj, axis=-1),
+        jnp.sum(dx * inv2 * adj, axis=-1),
+        jnp.sum(dx * inv * adj, axis=-1),
+        jnp.sum(dvy * adj, axis=-1),
+        jnp.sum(dy * inv2 * adj, axis=-1),
+        jnp.sum(dy * inv * adj, axis=-1),
+        jnp.sum(dx * gfac, axis=-1),
+        jnp.sum(dy * gfac, axis=-1),
+        jnp.sum(adj, axis=-1),
+    ]
+    if channels == "full":
+        chans += [
+            jnp.min(r2, axis=-1),
+            jnp.sum(dx * gfac * adj, axis=-1),
+            jnp.sum(dy * gfac * adj, axis=-1),
+        ]
+    out = jnp.stack(chans, axis=-1)
+    pad = jnp.zeros(out.shape[:-1] + (N_OUT - len(chans),), dtype)
+    return jnp.concatenate([out, pad], axis=-1)
+
+
 def _flocking_sums_impl(x: jax.Array, comm_radius, comm_radius2, interpret: bool = False):
     """Symmetric (all-pairs-of-one-swarm) case: the cross-block kernel with
     both operands the same block and zero global-index offsets (the id
@@ -112,19 +172,30 @@ def _flocking_sums_vmap_rule(axis_size, in_batched, x, scal):
     return out, True
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flocking_sums(x: jax.Array, comm_radius, comm_radius2, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "impl"))
+def flocking_sums(
+    x: jax.Array, comm_radius, comm_radius2, interpret: bool = False,
+    impl: str = "pallas",
+):
     """All per-agent pairwise reductions for flocking, one fused pass.
 
     x: [N, 4] or [B, N, 4] agent states; returns [N, 16] / [B, N, 16]
-    channel sums (layout above).  The batch is a native leading grid
-    dimension of ONE pallas_call, and a ``custom_vmap`` rule routes
-    ``jax.vmap`` of the unbatched form to the same program — so vmapped
-    envs built on this kernel stay a single compile at any batch size.
-    ``interpret=True`` bypasses the custom-vmap wrapper (CPU testing).
+    channel sums (layout above).
+
+    ``impl="pallas"`` (default): the blockwise VMEM-resident kernel — 2x
+    the XLA path on batched inputs, tied single-env (measured landscape in
+    the module docstring); its batch is a native leading grid dimension of
+    ONE pallas_call, and a ``custom_vmap`` rule routes ``jax.vmap`` of the
+    unbatched form to the same program (naively vmapping a pallas_call
+    builds one Mosaic program per lane).  ``impl="xla"``: fused dense
+    formulation, also O(N) memory via reduce fusion; vmap is native.
+    ``interpret=True`` forces the Pallas interpreter (CPU testing of the
+    kernel path).
     """
     if interpret:
         return _flocking_sums_impl(x, comm_radius, comm_radius2, interpret=True)
+    if impl == "xla":
+        return _flocking_sums_xla(x, comm_radius, comm_radius2)
     scal = jnp.asarray(
         [comm_radius, comm_radius2], jnp.result_type(x.dtype)
     )

@@ -250,3 +250,30 @@ def test_adjacency_matmul_block_tiling_covers_full():
         np.testing.assert_allclose(
             np.asarray(acc), np.asarray(want[roff : roff + m]), atol=2e-4
         )
+
+
+@pytest.mark.parametrize("n", [64, 137, 200])
+def test_flocking_sums_xla_impl_matches_pallas(n):
+    """The default impl='xla' fused dense path == the Pallas kernel
+    (both channel sets, batched and unbatched)."""
+    from gym_flock_tpu.ops.pallas_flocking import _flocking_sums_xla
+
+    x = jnp.asarray(np.random.RandomState(1).randn(n, 4).astype(np.float32) * 2)
+    want = flocking_sums(x, 0.9, 0.81, interpret=True)
+    got = flocking_sums(x, 0.9, 0.81, impl="xla")
+    scale = 1.0 + jnp.abs(want)
+    assert float(jnp.max(jnp.abs(got - want) / scale)) < 1e-4
+
+    # full channel set vs the cross-block kernel's full set
+    from gym_flock_tpu.ops.pallas_flocking import flocking_sums_block
+
+    want_f = flocking_sums_block(x, x, 0, 0, 0.9, 0.81, interpret=True, channels="full")
+    got_f = _flocking_sums_xla(x, 0.9, 0.81, channels="full")
+    scale = 1.0 + jnp.abs(want_f)
+    assert float(jnp.max(jnp.abs(got_f - want_f) / scale)) < 1e-4
+
+    # batched leading dims are native
+    xb = jnp.stack([x, x[::-1]])
+    got_b = flocking_sums(xb, 0.9, 0.81, impl="xla")
+    assert got_b.shape == (2, n, 16)
+    assert float(jnp.max(jnp.abs(got_b[0] - got) / (1.0 + jnp.abs(got)))) < 1e-6
