@@ -129,6 +129,42 @@ def _safe_gather(vec: jax.Array, idx: jax.Array, fill=0.0) -> jax.Array:
     return jnp.where(idx >= 0, vec[safe], jnp.asarray(fill, vec.dtype))
 
 
+def _mm_expert_active(params) -> bool:
+    """Static predicate: the MXU greedy-expert path is in use (see
+    :func:`_greedy_cost_rows`)."""
+    mm = params.bank.get("graph_cost_mm")
+    return mm is not None and mm.shape[0] == 1 and params.n_robots >= 16
+
+
+def _greedy_cost_rows(params, g, cur: jax.Array) -> jax.Array:
+    """``graph_cost[g, cur]`` rows [R, T] for the greedy expert.
+
+    TPU routing: the XLA row gather runs at <10% of HBM bandwidth here, and
+    a large-R batch gathers the same T distinct rows over and over (36x
+    duplication at R=100, B=512).  With a single-graph bank the duplicated
+    gather becomes a one-hot matmul on the MXU: out[r, t] =
+    sum_k onehot[r, k] * C[k, t] has exactly ONE nonzero term per output
+    element, so it is exact (no accumulation error) provided each finite
+    cost is bf16-representable — guaranteed when the bank carries
+    ``graph_cost_mm`` (integer hop counts <= 256; unreachable stored as
+    1024, which still satisfies the ``>= MAX_COST`` test — see
+    coverage_graph._mm_cost_copy).  Measured 1.7x on the ExploreFull-100
+    controller phase.  Multi-graph banks keep the gather: a per-env graph
+    index would stage a gathered [B, T, T] matmul operand.
+    """
+    bank = params.bank
+    if _mm_expert_active(params):
+        mm = bank["graph_cost_mm"]
+        onehot = jax.nn.one_hot(cur, mm.shape[1], dtype=jnp.bfloat16)
+        return jax.lax.dot_general(
+            onehot,
+            mm[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return bank["graph_cost"][g, cur]
+
+
 def _resolve_conflicts(cur: jax.Array, chosen: jax.Array, collision_checks: bool):
     """Movement conflict resolution — the reference's two-pass sequential
     procedure (coverage.py:186-201), evaluated as a vectorized fixed point.
@@ -508,13 +544,27 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         cur = state.robot_loc
 
         # fused row gathers — never stage the [T, T] matrices per env
-        r = params.bank["graph_cost"][g, cur]  # [R, T]
+        r = _greedy_cost_rows(params, g, cur)  # [R, T]
         blocked = (state.visited >= 1.0) | ~mask
         if params.hide_nodes:
             blocked = blocked | (state.discovered <= 0.0)
-        r = jnp.where(blocked[None, :], MAX_COST, r)
-        greedy_loc = jnp.argmin(r, axis=1)  # [R] target idx
-        unreachable = r[jnp.arange(R), greedy_loc] >= MAX_COST
+        if _mm_expert_active(params):
+            # packed single-value min instead of argmin: TPU variadic
+            # (value, index) reduces vectorize poorly.  Costs here are
+            # integers <= 1024 (guaranteed by _mm_cost_copy) and T < 4096,
+            # so cost*4096 + idx < 2^24 is exact in f32 and a plain min
+            # reproduces argmin exactly — among tied costs the smallest
+            # packed value has the smallest index, which is argmin's
+            # first-match tie-break.
+            idx = jnp.arange(T, dtype=r.dtype)
+            packed = jnp.where(blocked[None, :], MAX_COST, r) * 4096.0 + idx[None, :]
+            m = jnp.min(packed, axis=1)  # [R]
+            greedy_loc = (m % 4096.0).astype(jnp.int32)
+            unreachable = (m - greedy_loc) / 4096.0 >= MAX_COST
+        else:
+            r = jnp.where(blocked[None, :], MAX_COST, r)
+            greedy_loc = jnp.argmin(r, axis=1)  # [R] target idx
+            unreachable = r[jnp.arange(R), greedy_loc] >= MAX_COST
 
         next_step = params.bank["graph_prev"][g, greedy_loc, cur]  # [R]
         bad = unreachable | (next_step == -1)
@@ -551,7 +601,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 # =============================================================================
 
 _bank_cache: Dict[tuple, Any] = {}
-_BANK_FORMAT = 2  # bump when GraphSpec/bank fields change
+_BANK_FORMAT = 3  # bump when GraphSpec/bank fields change
 
 
 def default_coverage_bank(

@@ -423,7 +423,27 @@ def build_graph_bank(specs: List[GraphSpec]):
         "graph_cost": stack("graph_cost"),
         "graph_prev": stack("graph_prev"),
         "graph_hops": stack("graph_hops"),
+        **_mm_cost_copy(specs),
     }
+
+
+def _mm_cost_copy(specs):
+    """Optional bf16 copy of graph_cost for the MXU greedy expert
+    (envs.coverage._greedy_cost_rows).  Emitted only when every finite
+    cost is bf16-exact (integer hop counts <= 256 — construct_time_matrix
+    uses edge_time=1.0, so costs are sweep counts); unreachable (MAX_COST)
+    is stored as 1024.0, a bf16-exact power of two that still satisfies
+    the controller's ``>= MAX_COST`` unreachable test."""
+    import jax.numpy as jnp
+
+    costs = np.stack([s.graph_cost for s in specs])
+    finite = costs[costs < MAX_COST]
+    if finite.size and (finite.max() > 256 or (finite != np.round(finite)).any()):
+        return {}
+    if costs.shape[-1] >= 4096:
+        return {}  # packed cost*4096+idx min-trick needs T < 4096
+    mm = np.where(costs >= MAX_COST, 1024.0, costs)
+    return {"graph_cost_mm": jnp.asarray(mm, dtype=jnp.bfloat16)}
 
 
 # =============================================================================
@@ -509,8 +529,18 @@ def save_graph_bank(path: str, bank) -> None:
     workers, multi-host runs sharing a cache dir) never see a torn file."""
     import os
 
+    # npz has no portable bfloat16: store those as f32 + a key manifest
+    arrays, bf16_keys = {}, []
+    for k, v in bank.items():
+        a = np.asarray(v)
+        if a.dtype.name == "bfloat16":
+            a = a.astype(np.float32)
+            bf16_keys.append(k)
+        arrays[k] = a
+    arrays["__bf16_keys__"] = np.asarray(bf16_keys)
+
     tmp = f"{path}.tmp.{os.getpid()}"
-    np.savez_compressed(tmp, **{k: np.asarray(v) for k, v in bank.items()})
+    np.savez_compressed(tmp, **arrays)
     # savez appends .npz when missing
     if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz"):
         tmp = tmp + ".npz"
@@ -522,4 +552,9 @@ def load_graph_bank(path: str):
     import jax.numpy as jnp
 
     with np.load(path) as data:
-        return {k: jnp.asarray(data[k]) for k in data.files}
+        bf16 = set(data["__bf16_keys__"].tolist()) if "__bf16_keys__" in data.files else set()
+        return {
+            k: jnp.asarray(data[k], dtype=jnp.bfloat16 if k in bf16 else None)
+            for k in data.files
+            if k != "__bf16_keys__"
+        }

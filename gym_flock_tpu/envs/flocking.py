@@ -601,9 +601,12 @@ class LargeFlockingEnv(FlockingRelativeEnv):
     ``custom_vmap`` rule, so ``jax.vmap`` over this env compiles ONCE for
     any batch size (naively vmapping a pallas_call builds one Mosaic
     program per lane and is pathologically slow to compile at large N).
-    Measured (v5e): N=4096 single stream ~950 env-steps/s; vmapped B=16
-    through the full env API ~1.15k env-steps/s = 4.7M agent-steps/s;
-    kernel-only B=32 loop 13.4M agent-steps/s.
+    Measured (v5e, fetch-amortized best-of-3): N=4096 single stream 854
+    env-steps/s = 3.5M agent-steps/s; vmapped B=16 through the full env API
+    (expert + step + obs) 1,924 env-steps/s = 7.9M agent-steps/s — which is
+    the kernel roofline: 2 fused passes/step x 16 x 4096^2 pairs at the
+    kernel's ~60 Gpair/s.  Kernel-only rates and the timing methodology:
+    benchmarks/large_flocking_bench.py.
     """
 
     def _obs(self, state: FlockingState, params: FlockingParams):

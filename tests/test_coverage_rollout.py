@@ -168,3 +168,33 @@ def test_revisit_nodes_flag_reverts_targets():
         if after - before < float(r):
             reverted += 1
     assert reverted > 0, "no visited target ever reverted in 120 steps"
+
+
+def test_mxu_greedy_expert_matches_gather_path():
+    """The one-hot-matmul greedy expert (single-graph bank, large R) is
+    action-for-action identical to the row-gather path: each matmul output
+    element is a single 0/1-weighted bf16-exact product, so no precision is
+    lost (envs.coverage._greedy_cost_rows)."""
+    env, params = gft.make("Coverage-v0", n_graphs=1, n_robots=20)
+    assert "graph_cost_mm" in params.bank, "bank should carry the bf16 copy"
+    assert params.bank["graph_cost_mm"].shape[0] == 1
+
+    # strip the bf16 copy to force the reference row-gather path
+    params_gather = params.replace(
+        bank={k: v for k, v in params.bank.items() if k != "graph_cost_mm"}
+    )
+
+    state_a, _ = env.reset_env(jax.random.key(3), params)
+    state_b, _ = env.reset_env(jax.random.key(3), params_gather)
+    key = jax.random.key(4)
+    for _ in range(15):
+        key, k1, k2 = jax.random.split(key, 3)
+        u_a = env.controller(state_a, params, key=k1, greedy=True)
+        u_b = env.controller(state_b, params_gather, key=k1, greedy=True)
+        np.testing.assert_array_equal(np.asarray(u_a), np.asarray(u_b))
+        state_a, _, r_a, _, _ = env.step_env(k2, state_a, u_a, params)
+        state_b, _, r_b, _, _ = env.step_env(k2, state_b, u_b, params_gather)
+        np.testing.assert_array_equal(
+            np.asarray(state_a.robot_loc), np.asarray(state_b.robot_loc)
+        )
+        assert float(r_a) == float(r_b)
