@@ -164,15 +164,41 @@ class FlockingImitationTrainer:
 
         return make_dp_train_step(self.tx, local_loss, mesh=mesh)
 
-    def fit(self, key: jax.Array, n_iters: int = 20, n_envs: int = 8, n_steps: int = 8):
-        """Single-device training driver; returns (params, losses)."""
+    def fit(
+        self,
+        key: jax.Array,
+        n_iters: int = 20,
+        n_envs: int = 8,
+        n_steps: int = 8,
+        ckpt_path: Optional[str] = None,
+        ckpt_every: int = 0,
+        resume: bool = True,
+    ):
+        """Single-device training driver; returns (params, losses).
+
+        With ``ckpt_path`` the loop checkpoints (params, opt state,
+        iteration, RNG key) every ``ckpt_every`` iterations (and at the
+        end), and — when ``resume`` and the file exists — continues from
+        the saved iteration with the exact RNG stream of an uninterrupted
+        run, so interrupt + resume reproduces the straight-through result.
+        """
+        import os
+
         k_init, key = jax.random.split(key)
         carry = self.init(k_init)
+        start = 0
+        if ckpt_path and resume and os.path.exists(ckpt_path):
+            p, o, start, saved_key = restore_checkpoint(ckpt_path, *carry)
+            carry = (p, o)
+            key = saved_key if saved_key is not None else key
         losses = []
-        for i in range(n_iters):
+        for i in range(start, n_iters):
             key, sub = jax.random.split(key)
             carry, loss = self.train_step(carry, sub, None, n_envs, n_steps)
             losses.append(float(loss))
+            done = i + 1 == n_iters
+            if ckpt_path and (done or (ckpt_every and (i + 1) % ckpt_every == 0)):
+                save_checkpoint(ckpt_path, carry[0], carry[1], step=i + 1, key=key)
         return carry[0], losses
 
 
@@ -181,21 +207,65 @@ class FlockingImitationTrainer:
 # =============================================================================
 
 
-def save_checkpoint(path: str, params, opt_state) -> None:
-    """Serialize trainer state (msgpack via flax.serialization)."""
+def save_checkpoint(path: str, params, opt_state, step: int = 0, key=None) -> None:
+    """Serialize trainer state (msgpack via flax.serialization).
+
+    ``step`` and the training PRNG ``key`` make the checkpoint resumable
+    mid-run (``fit(ckpt_path=..., resume=True)`` picks up at iteration
+    ``step`` with the exact RNG stream it would have had).  Written via a
+    temp file + atomic rename so a crash mid-write never leaves a torn
+    checkpoint behind.
+    """
+    import os
+
     from flax import serialization
 
-    blob = serialization.to_bytes({"params": params, "opt_state": opt_state})
-    with open(path, "wb") as f:
+    if key is None:
+        key_data, has_key = np.zeros((1,), np.uint32), False
+    else:
+        key_data, has_key = np.asarray(jax.random.key_data(key)), True
+    blob = serialization.to_bytes(
+        {
+            "params": params,
+            "opt_state": opt_state,
+            "step": np.int64(step),
+            "key_data": key_data,
+            "has_key": np.bool_(has_key),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
 
 
 def restore_checkpoint(path: str, params_template, opt_state_template):
-    """Restore trainer state into pytrees of the same structure."""
+    """Restore trainer state into pytrees of the same structure.
+
+    Returns ``(params, opt_state, step, key)``; ``step`` is 0 and ``key``
+    is None for checkpoints that were saved without them.
+    """
     from flax import serialization
 
     with open(path, "rb") as f:
         blob = f.read()
-    target = {"params": params_template, "opt_state": opt_state_template}
-    restored = serialization.from_bytes(target, blob)
-    return restored["params"], restored["opt_state"]
+    target = {
+        "params": params_template,
+        "opt_state": opt_state_template,
+        "step": np.int64(0),
+        "key_data": None,  # shape varies with the key impl: restore raw
+        "has_key": np.bool_(False),
+    }
+    try:
+        restored = serialization.from_bytes(target, blob)
+    except (KeyError, ValueError):
+        # legacy two-field checkpoint
+        target = {"params": params_template, "opt_state": opt_state_template}
+        restored = serialization.from_bytes(target, blob)
+        return restored["params"], restored["opt_state"], 0, None
+    key = (
+        jax.random.wrap_key_data(jnp.asarray(restored["key_data"]))
+        if restored["has_key"]
+        else None
+    )
+    return restored["params"], restored["opt_state"], int(restored["step"]), key

@@ -155,17 +155,37 @@ class CoverageImitationTrainer:
         n_steps: int = 8,
         eval_params: Optional[CoverageParams] = None,
         eval_every: int = 0,
+        ckpt_path: Optional[str] = None,
+        ckpt_every: int = 0,
+        resume: bool = True,
     ):
         """Train; optionally report generalization metrics on a held-out
         graph bank every ``eval_every`` iterations (ROADMAP: multi-graph
-        training must be validated on graphs never sampled in training)."""
+        training must be validated on graphs never sampled in training).
+
+        ``ckpt_path``/``ckpt_every``/``resume``: checkpoint (params, opt
+        state, iteration, RNG key) periodically and continue an interrupted
+        run with the exact RNG stream of an uninterrupted one (see
+        ``FlockingImitationTrainer.fit``)."""
+        import os
+
+        from gym_flock_tpu.parallel.train import restore_checkpoint, save_checkpoint
+
         k_init, key = jax.random.split(key)
         carry = self.init(k_init)
+        start = 0
+        if ckpt_path and resume and os.path.exists(ckpt_path):
+            p, o, start, saved_key = restore_checkpoint(ckpt_path, *carry)
+            carry = (p, o)
+            key = saved_key if saved_key is not None else key
         losses, evals = [], []
-        for it in range(n_iters):
+        for it in range(start, n_iters):
             key, sub = jax.random.split(key)
             carry, loss = self.train_step(carry, sub, n_envs, n_steps)
             losses.append(float(loss))
+            done = it + 1 == n_iters
+            if ckpt_path and (done or (ckpt_every and (it + 1) % ckpt_every == 0)):
+                save_checkpoint(ckpt_path, carry[0], carry[1], step=it + 1, key=key)
             if eval_every and eval_params is not None and (it + 1) % eval_every == 0:
                 key, sub = jax.random.split(key)
                 evals.append(

@@ -82,10 +82,15 @@ def test_checkpoint_roundtrip(tmp_path):
     carry, loss = trainer.train_step(carry, jax.random.key(1), None, 2, 2)
 
     path = str(tmp_path / "ckpt.msgpack")
-    save_checkpoint(path, carry[0], carry[1])
+    save_checkpoint(path, carry[0], carry[1], step=7, key=jax.random.key(5))
 
     fresh = trainer.init(jax.random.key(9))
-    p2, o2 = restore_checkpoint(path, fresh[0], fresh[1])
+    p2, o2, step, saved_key = restore_checkpoint(path, fresh[0], fresh[1])
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(saved_key)),
+        np.asarray(jax.random.key_data(jax.random.key(5))),
+    )
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         carry[0], p2,
@@ -228,3 +233,28 @@ def test_sharded_coverage_train_step(devices8):
     carry = tr.init(jax.random.key(0))
     carry, loss = step(carry, jax.random.key(1))
     assert bool(jnp.isfinite(loss))
+
+
+def test_fit_resume_reproduces_uninterrupted_run(tmp_path):
+    """Interrupt + resume == straight-through: same params, same RNG stream."""
+    import gym_flock_tpu as gft_
+
+    env, params = gft_.make("FlockingRelative-v0", n_agents=8)
+
+    trainer = FlockingImitationTrainer(env, params)
+    p_full, _ = trainer.fit(jax.random.key(3), n_iters=4, n_envs=2, n_steps=2)
+
+    path = str(tmp_path / "resume.msgpack")
+    trainer2 = FlockingImitationTrainer(env, params)
+    trainer2.fit(jax.random.key(3), n_iters=2, n_envs=2, n_steps=2,
+                 ckpt_path=path, ckpt_every=1)
+    # "crash" after 2 iters; resume picks up at iteration 2
+    p_resumed, losses = trainer2.fit(jax.random.key(3), n_iters=4, n_envs=2,
+                                     n_steps=2, ckpt_path=path)
+    assert len(losses) == 2  # only the remaining iterations ran
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0
+        ),
+        p_full, p_resumed,
+    )
