@@ -1,6 +1,7 @@
 from gym_flock_tpu.models.gnn import (
     get_number_nodes,
     AggregationGNN,
+    LargeAggregationGNN,
     EdgeGraphNet,
     unpack_obs,
 )

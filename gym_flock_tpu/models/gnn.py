@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["unpack_obs", "AggregationGNN", "EdgeGraphNet"]
+__all__ = ["unpack_obs", "AggregationGNN", "LargeAggregationGNN", "EdgeGraphNet"]
 
 
 def unpack_obs(
@@ -116,6 +116,37 @@ class AggregationGNN(nn.Module):
             z = jnp.matmul(adjacency, z)
             zs.append(z)
         h = jnp.concatenate(zs, axis=-1)  # [N, K*F]
+        return _MLP(tuple(self.hidden) + (self.out_dim,))(h)
+
+
+class LargeAggregationGNN(nn.Module):
+    """AggregationGNN for swarms too large to materialize the adjacency.
+
+    Same architecture as :class:`AggregationGNN`, but takes the raw agent
+    state ``x [N, 4]`` instead of a dense ``[N, N]`` adjacency: the A^k X
+    products run through ``ops.adjacency_matmul`` — per-tile on-the-fly
+    adjacency into the MXU, O(N*F) memory, differentiable via its custom
+    VJP — so the policy trains end-to-end at N where a dense A would be
+    gigabytes (1 GB at N=16k).
+    """
+
+    k_hops: int = 3
+    hidden: Sequence[int] = (64, 64)
+    out_dim: int = 2
+    comm_radius2: float = 0.81
+    squash_inputs: bool = True
+    interpret: bool = False  # Pallas interpreter (CPU testing)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, features: jax.Array):
+        from gym_flock_tpu.ops.pallas_flocking import khop_aggregate
+
+        if self.squash_inputs:
+            features = jnp.arcsinh(features)
+        h = khop_aggregate(
+            x, features, self.comm_radius2, self.k_hops,
+            mean_pool=True, interpret=self.interpret,
+        )
         return _MLP(tuple(self.hidden) + (self.out_dim,))(h)
 
 

@@ -175,25 +175,30 @@ def _flocking_sums_vmap_rule(axis_size, in_batched, x, scal):
 @functools.partial(jax.jit, static_argnames=("interpret", "impl"))
 def flocking_sums(
     x: jax.Array, comm_radius, comm_radius2, interpret: bool = False,
-    impl: str = "pallas",
+    impl: str = "auto",
 ):
     """All per-agent pairwise reductions for flocking, one fused pass.
 
     x: [N, 4] or [B, N, 4] agent states; returns [N, 16] / [B, N, 16]
     channel sums (layout above).
 
-    ``impl="pallas"`` (default): the blockwise VMEM-resident kernel — 2x
-    the XLA path on batched inputs, tied single-env (measured landscape in
-    the module docstring); its batch is a native leading grid dimension of
-    ONE pallas_call, and a ``custom_vmap`` rule routes ``jax.vmap`` of the
-    unbatched form to the same program (naively vmapping a pallas_call
-    builds one Mosaic program per lane).  ``impl="xla"``: fused dense
-    formulation, also O(N) memory via reduce fusion; vmap is native.
-    ``interpret=True`` forces the Pallas interpreter (CPU testing of the
-    kernel path).
+    ``impl="auto"`` (default) resolves to ``"pallas"`` on TPU and
+    ``"xla"`` elsewhere (compiled Pallas kernels only lower on TPU; the
+    fused dense formulation runs on any backend, so envs built on this
+    kernel work on CPU/GPU unmodified).  ``impl="pallas"``: the blockwise
+    VMEM-resident kernel — 2x the XLA path on batched inputs, tied
+    single-env (measured landscape in the module docstring); its batch is
+    a native leading grid dimension of ONE pallas_call, and a
+    ``custom_vmap`` rule routes ``jax.vmap`` of the unbatched form to the
+    same program (naively vmapping a pallas_call builds one Mosaic program
+    per lane).  ``impl="xla"``: fused dense formulation, also O(N) memory
+    via reduce fusion; vmap is native.  ``interpret=True`` forces the
+    Pallas interpreter (CPU testing of the kernel path).
     """
     if interpret:
         return _flocking_sums_impl(x, comm_radius, comm_radius2, interpret=True)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
     if impl == "xla":
         return _flocking_sums_xla(x, comm_radius, comm_radius2)
     scal = jnp.asarray(
@@ -236,7 +241,8 @@ def turner_controller_large(
         # the masked channels 10/11 exist only in the "full" channel set
         # (flocking_sums computes the cheaper pure-sum core set)
         s = flocking_sums_block(
-            x, x, 0, 0, comm_radius, comm_radius2, interpret=interpret,
+            x, x, 0, 0, comm_radius, comm_radius2,
+            interpret=interpret or jax.default_backend() == "cpu",
             channels="full",
         )
         s_gx, s_gy = s[:, 10], s[:, 11]
@@ -570,31 +576,6 @@ def _zero_offs():
     return jnp.zeros((2,), jnp.int32)
 
 
-@functools.partial(jax.custom_batching.custom_vmap)
-def _adj_matmul_mean(x, h, scal):
-    return _adj_matmul_impl(x, x, h, _zero_offs(), scal[0], mean_pool=True)
-
-
-@functools.partial(jax.custom_batching.custom_vmap)
-def _adj_matmul_sum(x, h, scal):
-    return _adj_matmul_impl(x, x, h, _zero_offs(), scal[0], mean_pool=False)
-
-
-def _adj_vmap_rule(mean_pool):
-    def rule(axis_size, in_batched, x, h, scal):
-        x_b, h_b, scal_b = in_batched
-        assert not scal_b, "vmap over the radius unsupported; close over it"
-        assert x_b and h_b, "x and h must batch together"
-        out = _adj_matmul_impl(x, x, h, _zero_offs(), scal[0], mean_pool=mean_pool)
-        return out, True
-
-    return rule
-
-
-_adj_matmul_mean.def_vmap(_adj_vmap_rule(True))
-_adj_matmul_sum.def_vmap(_adj_vmap_rule(False))
-
-
 def _make_adj_block_vmappable(vma):
     kw = dict(vma=vma, mean_pool=False, return_deg=True)
 
@@ -659,6 +640,65 @@ def adjacency_matmul_block(
     return _adj_block_vmappable_for(vma)(xr, xc, h, offs, scal)
 
 
+def _make_diff_adj_matmul(mean_pool: bool, interpret: bool):
+    """Differentiable (A(x) @ H) with a custom VJP.
+
+    Pallas kernels have no automatic gradients; the math here is closed
+    form: the radius adjacency A is SYMMETRIC and binary, and its
+    dependence on positions is a step function (zero gradient a.e. — the
+    position cotangent is zeros, matching what autodiff of a dense
+    ``(r2 < cr2).astype(f32)`` adjacency would produce).  For
+    y = A H:            dH = A dy.
+    For y = (A H)/deg:  dH = A (dy / deg)     (deg is H-independent).
+    Each backward pass is one more run of the same kernel.
+    """
+
+    def kernel(x, h, scal):
+        if interpret:
+            return _adj_matmul_impl(
+                x, x, h, _zero_offs(), scal[0], mean_pool=False,
+                interpret=True, return_deg=True,
+            )
+        return _adj_block_vmappable_for(None)(x, x, h, _zero_offs(), scal)
+
+    @jax.custom_vjp
+    def f(x, h, scal):
+        out, deg = kernel(x, h, scal)
+        if not mean_pool:
+            return out
+        return out / jnp.where(deg == 0, 1.0, deg)[..., None].astype(out.dtype)
+
+    def fwd(x, h, scal):
+        out, deg = kernel(x, h, scal)
+        degc = jnp.where(deg == 0, 1.0, deg)[..., None].astype(out.dtype)
+        if not mean_pool:
+            return out, (x, scal)
+        return out / degc, (x, scal, degc)
+
+    def bwd_sum(res, dy):
+        x, scal = res
+        dh, _ = kernel(x, dy, scal)
+        return jnp.zeros_like(x), dh, jnp.zeros_like(scal)
+
+    def bwd_mean(res, dy):
+        x, scal, degc = res
+        dh, _ = kernel(x, dy / degc, scal)
+        return jnp.zeros_like(x), dh, jnp.zeros_like(scal)
+
+    f.defvjp(fwd, bwd_mean if mean_pool else bwd_sum)
+    return f
+
+
+_DIFF_ADJ_CACHE = {}
+
+
+def _diff_adj_matmul_for(mean_pool: bool, interpret: bool):
+    key = (mean_pool, interpret)
+    if key not in _DIFF_ADJ_CACHE:
+        _DIFF_ADJ_CACHE[key] = _make_diff_adj_matmul(mean_pool, interpret)
+    return _DIFF_ADJ_CACHE[key]
+
+
 @functools.partial(jax.jit, static_argnames=("mean_pool", "interpret"))
 def adjacency_matmul(
     x: jax.Array,
@@ -678,15 +718,15 @@ def adjacency_matmul(
 
     Accepts [N, *] or batched [B, N, *] inputs; the batch is a native grid
     dimension and a ``custom_vmap`` rule routes ``jax.vmap`` to it (one
-    compile at any batch size).
+    compile at any batch size).  DIFFERENTIABLE in ``h`` via a custom VJP
+    (one extra kernel pass; positions get the a.e.-correct zero cotangent)
+    — large-swarm GNNs train through it (``models.LargeAggregationGNN``).
     """
-    if interpret:
-        return _adj_matmul_impl(
-            x, x, h, _zero_offs(), comm_radius2, mean_pool=mean_pool, interpret=True
-        )
+    # compiled Pallas only lowers on TPU; fall back to the interpreter off
+    # it so large-env models run (slowly) on CPU/GPU unmodified
+    interpret = interpret or jax.default_backend() == "cpu"
     scal = jnp.asarray([comm_radius2], jnp.result_type(x.dtype))
-    fn = _adj_matmul_mean if mean_pool else _adj_matmul_sum
-    return fn(x, h, scal)
+    return _diff_adj_matmul_for(mean_pool, interpret)(x, h, scal)
 
 
 def khop_aggregate(

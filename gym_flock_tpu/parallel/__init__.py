@@ -4,7 +4,12 @@ from gym_flock_tpu.parallel.rollout import (
     sharded_rollout,
     make_env_mesh,
 )
-from gym_flock_tpu.parallel.train import FlockingImitationTrainer, collect_flocking_batch
+from gym_flock_tpu.parallel.train import (
+    FlockingImitationTrainer,
+    LargeFlockingImitationTrainer,
+    collect_flocking_batch,
+    collect_large_flocking_batch,
+)
 from gym_flock_tpu.parallel.train import save_checkpoint, restore_checkpoint
 from gym_flock_tpu.parallel.distributed import (
     initialize as distributed_initialize,

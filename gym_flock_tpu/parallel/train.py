@@ -28,7 +28,13 @@ from gym_flock_tpu.core.env import Env
 from gym_flock_tpu.models.gnn import AggregationGNN
 from gym_flock_tpu.parallel.rollout import make_env_mesh, rollout
 
-__all__ = ["FlockingImitationTrainer", "collect_flocking_batch", "make_dp_train_step"]
+__all__ = [
+    "FlockingImitationTrainer",
+    "LargeFlockingImitationTrainer",
+    "collect_flocking_batch",
+    "collect_large_flocking_batch",
+    "make_dp_train_step",
+]
 
 
 def collect_flocking_batch(env: Env, params, key: jax.Array, n_envs: int, n_steps: int):
@@ -199,6 +205,91 @@ class FlockingImitationTrainer:
             done = i + 1 == n_iters
             if ckpt_path and (done or (ckpt_every and (i + 1) % ckpt_every == 0)):
                 save_checkpoint(ckpt_path, carry[0], carry[1], step=i + 1, key=key)
+        return carry[0], losses
+
+
+def collect_large_flocking_batch(env, params, key: jax.Array, n_envs: int, n_steps: int):
+    """Expert rollouts on :class:`LargeFlockingEnv` keeping (x, features,
+    expert action) — the adjacency is NEVER materialized; the large GNN
+    re-derives neighborhoods on the fly from ``x``
+    (``models.LargeAggregationGNN``).  The expert's and the observation's
+    fused pairwise passes share one ``flocking_sums`` call (CSE: same input).
+
+    Returns leaves shaped [n_envs * n_steps, ...].
+    """
+
+    def one(key):
+        key, kreset = jax.random.split(key)
+        state, _ = env.reset_env(kreset, params)
+
+        def body(state, key_t):
+            u = env.controller(state, params)
+            values, _ = env._obs(state, params)
+            x = state.x
+            state, _, _, _, _ = env.step_env(key_t, state, u, params)
+            return state, (x, values, u)
+
+        _, traj = jax.lax.scan(body, state, jax.random.split(key, n_steps))
+        return traj
+
+    keys = jax.random.split(key, n_envs)
+    xs, feats, acts = jax.vmap(one)(keys)  # [B, T, N, ...]
+    flat = lambda v: v.reshape((-1,) + v.shape[2:])
+    return flat(xs), flat(feats), flat(acts)
+
+
+class LargeFlockingImitationTrainer:
+    """Behavior cloning at swarm sizes where the dense adjacency does not
+    fit: :class:`LargeAggregationGNN` over (x, features) batches, every
+    pairwise product blockwise (Pallas) with the custom-VJP backward.
+    Mirrors :class:`FlockingImitationTrainer` otherwise.
+    """
+
+    def __init__(
+        self,
+        env,
+        env_params,
+        model=None,
+        learning_rate: float = 1e-3,
+        interpret: bool = False,
+    ):
+        from gym_flock_tpu.models.gnn import LargeAggregationGNN
+
+        self.env = env
+        self.env_params = env_params
+        self.model = model or LargeAggregationGNN(
+            comm_radius2=float(env_params.comm_radius2), interpret=interpret
+        )
+        self.tx = optax.adam(learning_rate)
+
+    def init(self, key: jax.Array):
+        n = self.env_params.n_agents
+        params = self.model.init(key, jnp.zeros((n, 4)), jnp.zeros((n, 6)))
+        return params, self.tx.init(params)
+
+    def loss_fn(self, params, xs, feats, actions):
+        pred = jax.vmap(lambda x, f: self.model.apply(params, x, f))(xs, feats)
+        return jnp.mean((pred - actions) ** 2)
+
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def train_step(self, carry, key, n_envs: int = 2, n_steps: int = 4):
+        params, opt_state = carry
+        xs, feats, acts = collect_large_flocking_batch(
+            self.env, self.env_params, key, n_envs, n_steps
+        )
+        loss, grads = jax.value_and_grad(self.loss_fn)(params, xs, feats, acts)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def fit(self, key: jax.Array, n_iters: int = 10, n_envs: int = 2, n_steps: int = 4):
+        k_init, key = jax.random.split(key)
+        carry = self.init(k_init)
+        losses = []
+        for _ in range(n_iters):
+            key, sub = jax.random.split(key)
+            carry, loss = self.train_step(carry, sub, n_envs, n_steps)
+            losses.append(float(loss))
         return carry[0], losses
 
 

@@ -277,3 +277,45 @@ def test_flocking_sums_xla_impl_matches_pallas(n):
     got_b = flocking_sums(xb, 0.9, 0.81, impl="xla")
     assert got_b.shape == (2, n, 16)
     assert float(jnp.max(jnp.abs(got_b[0] - got) / (1.0 + jnp.abs(got)))) < 1e-6
+
+
+def test_adjacency_matmul_grad_matches_dense():
+    """custom-VJP gradients == autodiff of the dense formulation."""
+    n, f = 48, 5
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(n, 4).astype(np.float32))
+    h = jnp.asarray(rs.randn(n, f).astype(np.float32))
+    cr2 = 0.81
+
+    def dense(xv, hv, mean_pool):
+        d = xv[:, None, :2] - xv[None, :, :2]
+        r2 = jnp.sum(d * d, axis=-1)
+        r2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, r2)
+        adj = (r2 < cr2).astype(jnp.float32)
+        out = adj @ hv
+        if mean_pool:
+            deg = jnp.sum(adj, axis=1, keepdims=True)
+            out = out / jnp.where(deg == 0, 1.0, deg)
+        return out
+
+    for mean_pool in (False, True):
+        want_val = dense(x, h, mean_pool)
+        got_val = adjacency_matmul(x, h, cr2, mean_pool=mean_pool, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_val), np.asarray(want_val), atol=2e-4)
+
+        co = jnp.asarray(rs.randn(n, f).astype(np.float32))
+        want_gh = jax.grad(lambda hv: jnp.sum(dense(x, hv, mean_pool) * co))(h)
+        got_gh = jax.grad(
+            lambda hv: jnp.sum(
+                adjacency_matmul(x, hv, cr2, mean_pool=mean_pool, interpret=True) * co
+            )
+        )(h)
+        np.testing.assert_allclose(np.asarray(got_gh), np.asarray(want_gh), atol=2e-4)
+
+        # positions: zero cotangent (a.e.-correct for the step-function adj)
+        got_gx = jax.grad(
+            lambda xv: jnp.sum(
+                adjacency_matmul(xv, h, cr2, mean_pool=mean_pool, interpret=True)
+            )
+        )(x)
+        assert float(jnp.max(jnp.abs(got_gx))) == 0.0
