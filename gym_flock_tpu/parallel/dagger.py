@@ -171,16 +171,41 @@ class DaggerTrainer:
 
     # ------------------------------------------------------------------ fit
 
-    def fit(self, key: jax.Array, n_iters: int = 10, **kwargs):
-        """beta_k = beta_decay^k mixture schedule (beta_0 = 1: pure expert)."""
+    def fit(
+        self,
+        key: jax.Array,
+        n_iters: int = 10,
+        ckpt_path: Optional[str] = None,
+        ckpt_every: int = 0,
+        resume: bool = True,
+        **kwargs,
+    ):
+        """beta_k = beta_decay^k mixture schedule (beta_0 = 1: pure expert).
+
+        ``ckpt_path``/``ckpt_every``/``resume`` checkpoint the FULL DAGGER
+        state (params, optimizer, replay buffer, write cursor) plus the
+        iteration and RNG key, so a resumed run replays the exact beta
+        schedule and RNG stream of an uninterrupted one (see
+        ``FlockingImitationTrainer.fit``)."""
+        import os
+
+        from gym_flock_tpu.parallel.train import restore_checkpoint, save_checkpoint
+
         k_init, key = jax.random.split(key)
         state = self.init(k_init)
+        start = 0
+        if ckpt_path and resume and os.path.exists(ckpt_path):
+            state, _, start, saved_key = restore_checkpoint(ckpt_path, state, ())
+            key = saved_key if saved_key is not None else key
         losses = []
-        for k in range(n_iters):
+        for k in range(start, n_iters):
             key, sub = jax.random.split(key)
             beta = jnp.asarray(self.beta_decay**k)
             state, loss = self.iteration(state, sub, beta, **kwargs)
             losses.append(float(loss))
+            done = k + 1 == n_iters
+            if ckpt_path and (done or (ckpt_every and (k + 1) % ckpt_every == 0)):
+                save_checkpoint(ckpt_path, state, (), step=k + 1, key=key)
         return state, losses
 
     def evaluate(self, params, key: jax.Array, n_envs: int = 8, n_steps: int = 50):

@@ -1,5 +1,6 @@
 """Coverage under the rollout engine: autoreset resamples graphs mid-scan."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -170,12 +171,17 @@ def test_revisit_nodes_flag_reverts_targets():
     assert reverted > 0, "no visited target ever reverted in 120 steps"
 
 
-def test_mxu_greedy_expert_matches_gather_path():
+@pytest.mark.parametrize("hide_nodes", [False, True])
+def test_mxu_greedy_expert_matches_gather_path(hide_nodes):
     """The one-hot-matmul greedy expert (single-graph bank, large R) is
     action-for-action identical to the row-gather path: each matmul output
     element is a single 0/1-weighted bf16-exact product, so no precision is
-    lost (envs.coverage._greedy_cost_rows)."""
-    env, params = gft.make("Coverage-v0", n_graphs=1, n_robots=20)
+    lost (envs.coverage._greedy_cost_rows).  hide_nodes exercises the
+    discovery-masked blocked set through the packed-min path."""
+    env, params = gft.make(
+        "Coverage-v0", n_graphs=1, n_robots=20,
+        hide_nodes=hide_nodes, n_node_feat=4 if hide_nodes else 3,
+    )
     assert "graph_cost_mm" in params.bank, "bank should carry the bf16 copy"
     assert params.bank["graph_cost_mm"].shape[0] == 1
 

@@ -280,3 +280,28 @@ def test_large_flocking_imitation_trains():
         jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), carry[0], p0)
     )
     assert max(moved) > 0.0
+
+
+def test_dagger_resume_reproduces_uninterrupted_run(tmp_path):
+    """DAGGER interrupt + resume == straight-through: full state (params,
+    buffer, cursor) and the beta/RNG schedules survive the checkpoint."""
+    import gym_flock_tpu as gft_
+    from gym_flock_tpu.parallel import DaggerTrainer
+
+    env, params = gft_.make("FlockingRelative-v0", n_agents=8)
+    kwargs = dict(n_envs=2, n_steps=2, n_grad_steps=1)
+
+    s_full, _ = DaggerTrainer(env, params, capacity=32).fit(
+        jax.random.key(11), n_iters=4, **kwargs
+    )
+
+    path = str(tmp_path / "dagger.msgpack")
+    t2 = DaggerTrainer(env, params, capacity=32)
+    t2.fit(jax.random.key(11), n_iters=2, ckpt_path=path, ckpt_every=1, **kwargs)
+    s_res, losses = t2.fit(jax.random.key(11), n_iters=4, ckpt_path=path, **kwargs)
+    assert len(losses) == 2
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_full.params, s_res.params,
+    )
+    np.testing.assert_array_equal(np.asarray(s_full.buffer_x), np.asarray(s_res.buffer_x))
