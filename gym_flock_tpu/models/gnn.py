@@ -20,7 +20,7 @@ All models are pure flax modules; training lives in
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -136,6 +136,10 @@ class LargeAggregationGNN(nn.Module):
     comm_radius2: float = 0.81
     squash_inputs: bool = True
     interpret: bool = False  # Pallas interpreter (CPU testing)
+    # Override the aggregation, e.g. with the agent-axis-sharded
+    # parallel.agent_shard.khop_aggregate_sharded inside shard_map (the
+    # parameter tree is identical, so weights transfer between variants).
+    aggregate_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, features: jax.Array):
@@ -143,10 +147,13 @@ class LargeAggregationGNN(nn.Module):
 
         if self.squash_inputs:
             features = jnp.arcsinh(features)
-        h = khop_aggregate(
-            x, features, self.comm_radius2, self.k_hops,
-            mean_pool=True, interpret=self.interpret,
-        )
+        if self.aggregate_fn is not None:
+            h = self.aggregate_fn(x, features)
+        else:
+            h = khop_aggregate(
+                x, features, self.comm_radius2, self.k_hops,
+                mean_pool=True, interpret=self.interpret,
+            )
         return _MLP(tuple(self.hidden) + (self.out_dim,))(h)
 
 

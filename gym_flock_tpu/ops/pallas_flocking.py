@@ -59,6 +59,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -615,6 +616,59 @@ def _adj_block_vmappable_for(vma):
     return _ADJ_BLOCK_VMAPPABLE_CACHE[key]
 
 
+def _make_diff_adj_block(vma, interpret):
+    """Differentiable cross-block aggregation tile (custom VJP).
+
+    The cross-block adjacency A(xr, xc) is NOT symmetric; its transpose is
+    the swapped-operand block A(xc, xr) (global-id masking commutes), so
+    dH = A(xc, xr) @ d_out — one more run of the same kernel with operands
+    and offsets swapped.  deg = A @ 1 is H-independent: its cotangent
+    contributes nothing; positions are a step function of x (zero
+    cotangent a.e.); the int offsets get float0 cotangents.
+    """
+
+    def kernel(xr, xc, h, offs, scal):
+        if interpret:
+            return _adj_matmul_impl(
+                xr, xc, h, offs, scal[0], mean_pool=False, interpret=True,
+                vma=vma, return_deg=True,
+            )
+        return _adj_block_vmappable_for(vma)(xr, xc, h, offs, scal)
+
+    @jax.custom_vjp
+    def f(xr, xc, h, offs, scal):
+        return kernel(xr, xc, h, offs, scal)
+
+    def fwd(xr, xc, h, offs, scal):
+        return kernel(xr, xc, h, offs, scal), (xr, xc, offs, scal)
+
+    def bwd(res, cts):
+        xr, xc, offs, scal = res
+        d_out, _d_deg = cts
+        dh, _ = kernel(xc, xr, d_out, offs[::-1], scal)
+        f0 = np.zeros(offs.shape, jax.dtypes.float0)
+        return (
+            jnp.zeros_like(xr),
+            jnp.zeros_like(xc),
+            dh,
+            f0,
+            jnp.zeros_like(scal),
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_DIFF_ADJ_BLOCK_CACHE = {}
+
+
+def _diff_adj_block_for(vma, interpret):
+    key = (None if vma is None else frozenset(vma), interpret)
+    if key not in _DIFF_ADJ_BLOCK_CACHE:
+        _DIFF_ADJ_BLOCK_CACHE[key] = _make_diff_adj_block(key[0], interpret)
+    return _DIFF_ADJ_BLOCK_CACHE[key]
+
+
 def adjacency_matmul_block(
     xr: jax.Array,
     xc: jax.Array,
@@ -629,15 +683,12 @@ def adjacency_matmul_block(
     ``(A(xr, xc) @ H_block, degree)`` with the [m, k] adjacency tile built
     from positions in VMEM and contracted on the MXU.  Combine partials by
     summing both outputs across column blocks, then mean-pool normalize —
-    see ``parallel.agent_shard.adjacency_matmul_sharded(use_pallas=True)``."""
+    see ``parallel.agent_shard.adjacency_matmul_sharded(use_pallas=True)``.
+    Differentiable in ``h`` via a custom VJP (the transposed tile is the
+    swapped-operand block), so the sharded GNN aggregation trains."""
     offs = jnp.asarray([row_offset, col_offset], jnp.int32)
-    if interpret:
-        return _adj_matmul_impl(
-            xr, xc, h, offs, comm_radius2, mean_pool=False, interpret=True,
-            vma=vma, return_deg=True,
-        )
     scal = jnp.asarray([comm_radius2], jnp.result_type(xr.dtype))
-    return _adj_block_vmappable_for(vma)(xr, xc, h, offs, scal)
+    return _diff_adj_block_for(vma, interpret)(xr, xc, h, offs, scal)
 
 
 def _make_diff_adj_matmul(mean_pool: bool, interpret: bool):

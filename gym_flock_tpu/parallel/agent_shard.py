@@ -45,6 +45,7 @@ __all__ = [
     "flocking_features_sharded",
     "turner_controller_sharded",
     "adjacency_matmul_sharded",
+    "khop_aggregate_sharded",
     "flocking_step_sharded",
     "flocking_reset_sharded",
     "agent_sharded_rollout",
@@ -335,6 +336,37 @@ def adjacency_matmul_sharded(
     if mean_pool:
         out = out / jnp.where(deg == 0, 1.0, deg)[:, None]
     return out
+
+
+def khop_aggregate_sharded(
+    x_local: jax.Array,
+    features_local: jax.Array,
+    comm_radius2,
+    k_hops: int,
+    axis_name: str = "ap",
+    mode: str = "ring",
+    mean_pool: bool = True,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """[X, AX, A^2 X, ...] with the agent axis sharded — the
+    ``ops.khop_aggregate`` input pipeline at swarm sizes past one device.
+
+    DIFFERENTIABLE end to end: the XLA tile is plain jnp (autodiff through
+    the scan + ppermute ring), and the Pallas tile carries the
+    swapped-operand custom VJP of ``ops.adjacency_matmul_block`` — so the
+    sharded :class:`~gym_flock_tpu.models.LargeAggregationGNN` trains with
+    the agent axis split over the mesh.  Call inside ``shard_map``.
+    """
+    zs = [features_local]
+    z = features_local
+    for _ in range(k_hops - 1):
+        z = adjacency_matmul_sharded(
+            x_local, z, comm_radius2, axis_name=axis_name, mode=mode,
+            mean_pool=mean_pool, use_pallas=use_pallas, interpret=interpret,
+        )
+        zs.append(z)
+    return jnp.concatenate(zs, axis=-1)
 
 
 def flocking_step_sharded(

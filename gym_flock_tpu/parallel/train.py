@@ -292,6 +292,76 @@ class LargeFlockingImitationTrainer:
             losses.append(float(loss))
         return carry[0], losses
 
+    # --------------------------------------------------- agent-axis sharded
+
+    def make_agent_sharded_train_step(
+        self,
+        mesh=None,
+        axis_name: str = "ap",
+        use_pallas: bool = False,
+        interpret: bool = False,
+    ):
+        """Train step with the AGENT axis sharded over the mesh (model
+        parallelism for the swarm dimension, SURVEY §5.7) — for N past one
+        device's memory.  Params replicate; (x, features, actions) batches
+        shard along agents; the K-hop aggregation runs the ppermute ring of
+        ``parallel.agent_shard.khop_aggregate_sharded`` (differentiable:
+        XLA tile by autodiff, Pallas tile by custom VJP); gradients pmean
+        over the axis.
+
+        Returns ``(step, mesh)``; ``step((params, opt_state), (xs, feats,
+        acts)) -> ((params, opt_state), loss)`` with [B, N, ...] batches
+        (collect them with :func:`collect_large_flocking_batch`).
+        """
+        from gym_flock_tpu.parallel.agent_shard import khop_aggregate_sharded
+        from gym_flock_tpu.parallel.rollout import make_env_mesh
+
+        if mesh is None:
+            mesh = make_env_mesh(axis_name)
+        aggregate = partial(
+            khop_aggregate_sharded,
+            comm_radius2=float(self.env_params.comm_radius2),
+            k_hops=self.model.k_hops,
+            axis_name=axis_name,
+            use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        model_sh = self.model.clone(aggregate_fn=aggregate)
+
+        def local_step(params, opt_state, xs_l, feats_l, acts_l):
+            def loss_fn(p):
+                pred = jax.vmap(lambda x, f: model_sh.apply(p, x, f))(xs_l, feats_l)
+                # equal-size shards: the mean of local means IS the global mean
+                return jnp.mean((pred - acts_l) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, axis_name), P(None, axis_name), P(None, axis_name)),
+            out_specs=(P(), P(), P()),
+            # the Pallas INTERPRETER path discharges the kernel body into
+            # jaxpr ops whose internal grid constants trip the vma checker;
+            # the TPU Mosaic lowering never discharges, so this only
+            # relaxes CPU testing
+            check_vma=not (use_pallas and interpret),
+        )
+
+        @jax.jit
+        def step(carry, batch):
+            params, opt_state = carry
+            xs, feats, acts = batch
+            params, opt_state, loss = sharded(params, opt_state, xs, feats, acts)
+            return (params, opt_state), loss
+
+        return step, mesh
+
 
 # =============================================================================
 # Checkpoint / resume (the reference has none — SURVEY.md §5.4)

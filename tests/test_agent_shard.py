@@ -272,3 +272,45 @@ def test_adjacency_matmul_sharded_pallas_tile(mesh8, mean_pool):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_khop_aggregate_sharded_matches_and_differentiates(mesh8, use_pallas):
+    """Sharded K-hop aggregation == dense ops.khop_aggregate, AND its
+    gradient wrt features matches dense autodiff — the XLA tile through
+    scan+ppermute autodiff, the Pallas tile through the swapped-operand
+    custom VJP of adjacency_matmul_block."""
+    from gym_flock_tpu.ops.pallas_flocking import khop_aggregate
+    from gym_flock_tpu.parallel.agent_shard import khop_aggregate_sharded
+
+    kx, kh, kc = jax.random.split(jax.random.key(8), 3)
+    x = _swarm(kx).astype(jnp.float32)
+    feats = jax.random.normal(kh, (N, 6), jnp.float32)
+    co = jax.random.normal(kc, (N, 18), jnp.float32)  # k_hops * F
+
+    want = khop_aggregate(x, feats, PARAMS.comm_radius2, k_hops=3, interpret=True)
+
+    # check_vma=False: grad-time retracing of the Pallas INTERPRETER path
+    # discharges the kernel body into jaxpr ops whose internal grid-loop
+    # constants trip shard_map's vma checker (the real TPU Mosaic lowering
+    # never discharges the kernel, so production is unaffected)
+    fn = jax.shard_map(
+        lambda xl, fl: khop_aggregate_sharded(
+            xl, fl, PARAMS.comm_radius2, 3, "ap", "ring",
+            use_pallas=use_pallas, interpret=use_pallas,
+        ),
+        mesh=mesh8,
+        in_specs=(P("ap"), P("ap")),
+        out_specs=P("ap"),
+        check_vma=not use_pallas,
+    )
+    got = fn(x, feats)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    want_g = jax.grad(
+        lambda f: jnp.sum(
+            khop_aggregate(x, f, PARAMS.comm_radius2, k_hops=3, interpret=True) * co
+        )
+    )(feats)
+    got_g = jax.grad(lambda f: jnp.sum(fn(x, f) * co))(feats)
+    np.testing.assert_allclose(got_g, want_g, rtol=2e-5, atol=2e-5)

@@ -305,3 +305,43 @@ def test_dagger_resume_reproduces_uninterrupted_run(tmp_path):
         s_full.params, s_res.params,
     )
     np.testing.assert_array_equal(np.asarray(s_full.buffer_x), np.asarray(s_res.buffer_x))
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_agent_sharded_train_step_matches_dense(tmp_path, use_pallas):
+    """The agent-axis-sharded GNN train step produces the SAME update as
+    the single-device step on identical data (ring aggregation + pmean'd
+    grads == dense aggregation)."""
+    import gym_flock_tpu as gft_
+    from gym_flock_tpu.parallel import LargeFlockingImitationTrainer
+    from gym_flock_tpu.parallel.train import collect_large_flocking_batch
+
+    env, params = gft_.make("FlockingLarge-v0", n_agents=24, max_reset_tries=4)
+    trainer = LargeFlockingImitationTrainer(env, params, interpret=True)
+    carry = trainer.init(jax.random.key(0))
+    xs, feats, acts = collect_large_flocking_batch(env, params, jax.random.key(1), 2, 2)
+
+    # dense reference update on the same batch
+    def dense_loss(p):
+        pred = jax.vmap(lambda x, f: trainer.model.apply(p, x, f))(xs, feats)
+        return jnp.mean((pred - acts) ** 2)
+
+    loss_d, grads_d = jax.value_and_grad(dense_loss)(carry[0])
+    updates, _ = trainer.tx.update(grads_d, carry[1], carry[0])
+    import optax
+    params_d = optax.apply_updates(carry[0], updates)
+
+    step, mesh = trainer.make_agent_sharded_train_step(
+        use_pallas=use_pallas, interpret=True
+    )
+    (params_s, _), loss_s = step(carry, (xs, feats, acts))
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    # Adam normalizes by sqrt(v): near-zero-gradient elements amplify
+    # ring-vs-dense summation-order noise, so the post-update tolerance is
+    # half the 1e-3 step size rather than float-eps scale
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4
+        ),
+        params_s, params_d,
+    )
