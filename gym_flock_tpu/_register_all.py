@@ -16,6 +16,7 @@ from gym_flock_tpu.envs.flocking import (
     FlockingStochasticEnv,
     FlockingTwoFlocksEnv,
     LargeFlockingEnv,
+    SparseFlockingEnv,
 )
 
 
@@ -39,6 +40,7 @@ register("FlockingStochastic-v0", _flocking_factory(FlockingStochasticEnv), 500)
 register("FlockingTwoFlocks-v0", _flocking_factory(FlockingTwoFlocksEnv), 500)
 # extension: Pallas-backed large-swarm variant (no reference counterpart)
 register("FlockingLarge-v0", _flocking_factory(LargeFlockingEnv), 1000)
+register("FlockingSparse-v0", _flocking_factory(SparseFlockingEnv), 1000)
 
 
 def _register_coverage():

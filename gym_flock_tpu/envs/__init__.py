@@ -12,7 +12,7 @@ from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams, CoverageSta
 from gym_flock_tpu.envs.shepherding import ShepherdingEnv, ShepherdingParams
 from gym_flock_tpu.envs.formation import FormationFlyingEnv, FormationParams
 from gym_flock_tpu.envs.lqr import LQREnv, LQRParams
-from gym_flock_tpu.envs.flocking import LargeFlockingEnv
+from gym_flock_tpu.envs.flocking import LargeFlockingEnv, SparseFlockingEnv
 from gym_flock_tpu.envs.mapping import (
     MappingEnv,
     MappingVelEnv,

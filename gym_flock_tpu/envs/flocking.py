@@ -42,6 +42,8 @@ __all__ = [
     "FlockingObstacleEnv",
     "FlockingStochasticEnv",
     "FlockingTwoFlocksEnv",
+    "LargeFlockingEnv",
+    "SparseFlockingEnv",
     "flocking_features",
     "turner_controller",
 ]
@@ -635,3 +637,43 @@ class LargeFlockingEnv(FlockingRelativeEnv):
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(n_agents=4096, max_steps=1000)
+
+
+class SparseFlockingEnv(LargeFlockingEnv):
+    """Cell-list variant: O(N) pairwise work instead of O(N^2).
+
+    Same semantics as :class:`LargeFlockingEnv` (adjacency-masked sums are
+    EXACT — the Hilbert-sort + bbox block pruning of
+    ``ops.sparse_flocking`` only removes pairs with zero contribution; only
+    float summation order differs), but the observation and the centralized
+    expert scale with the neighbor count, not the swarm size: measured ~15x
+    the dense kernel at N=65536 on one v5e chip (6.4 ms vs ~95 ms per fused
+    pass).  Requires ``n_agents`` a multiple of 128.  Pathologically
+    clustered swarms exceed the candidate-table capacity and fall back to
+    the dense kernel for the batch — never wrong, only slower.
+    """
+
+    def _sums(self, x, params):
+        from gym_flock_tpu.ops.sparse_flocking import flocking_sums_sparse
+
+        return flocking_sums_sparse(x, params.comm_radius, params.comm_radius2)
+
+    def _obs(self, state: FlockingState, params: FlockingParams):
+        s = self._sums(state.x, params)
+        return s[..., 0:6], s[..., 8]
+
+    def controller(self, state, params, centralized=None):
+        if centralized is None:
+            centralized = params.centralized
+        assert centralized, "sparse expert is centralized-only (channels 6/7)"
+        x = state.x
+        s = self._sums(x, params)
+        n = x.shape[0]
+        s_gx, s_gy = s[..., 6], s[..., 7]
+        s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+        s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+        controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
+        return jnp.clip(controls, -10.0, 10.0) / params.action_scalar
+
+    def default_params(self) -> FlockingParams:
+        return FlockingParams(n_agents=16384, max_steps=1000)

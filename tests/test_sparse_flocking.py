@@ -1,0 +1,101 @@
+"""Block-sparse (cell-list) flocking reductions vs the dense kernel."""
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_flock_tpu.ops.pallas_flocking import flocking_sums
+from gym_flock_tpu.ops.sparse_flocking import (
+    block_pair_table,
+    flocking_sums_sparse,
+    morton_order,
+)
+
+CR, CR2 = 0.9, 0.81
+
+
+def _swarm(key, n, spread):
+    x = jax.random.normal(key, (n, 4), jnp.float32)
+    return x.at[:, :2].mul(spread)
+
+
+@pytest.mark.parametrize("n,spread", [(256, 4.0), (512, 8.0), (1024, 12.0)])
+def test_sparse_matches_dense(n, spread):
+    x = _swarm(jax.random.key(0), n, spread)
+    want = flocking_sums(x, CR, CR2, interpret=True)[:, :9]
+    got = flocking_sums_sparse(x, CR, CR2, k_max=16)[:, :9]
+    scale = 1.0 + jnp.abs(want)
+    assert float(jnp.max(jnp.abs(got - want) / scale)) < 1e-4
+
+
+def test_sparse_batched_matches_dense():
+    xs = jax.vmap(lambda k: _swarm(k, 256, 6.0))(jax.random.split(jax.random.key(1), 3))
+    want = jax.vmap(lambda x: flocking_sums(x, CR, CR2, interpret=True))(xs)[:, :, :9]
+    got = flocking_sums_sparse(xs, CR, CR2, k_max=16)[:, :, :9]
+    scale = 1.0 + jnp.abs(want)
+    assert float(jnp.max(jnp.abs(got - want) / scale)) < 1e-4
+
+
+def test_overflow_falls_back_to_dense():
+    """All agents in one spot: every block pair is in range -> capacity
+    overflow -> dense fallback (answers still correct)."""
+    x = jax.random.normal(jax.random.key(2), (512, 4), jnp.float32) * 0.01
+    _, overflow = block_pair_table(x[morton_order(x, CR)], CR, k_max=2)
+    assert bool(overflow)
+    want = flocking_sums(x, CR, CR2, interpret=True)[:, :9]
+    got = flocking_sums_sparse(x, CR, CR2, k_max=2)[:, :9]
+    scale = 1.0 + jnp.abs(want)
+    assert float(jnp.max(jnp.abs(got - want) / scale)) < 1e-4
+
+
+def test_pruning_is_exact_not_lossy():
+    """The bbox prune may only remove pairs with zero contribution: the
+    degree channel (exact integer counts) must match the dense kernel
+    EXACTLY, not just within tolerance."""
+    x = _swarm(jax.random.key(3), 512, 6.0)
+    want_deg = flocking_sums(x, CR, CR2, interpret=True)[:, 8]
+    got_deg = flocking_sums_sparse(x, CR, CR2, k_max=16)[:, 8]
+    np.testing.assert_array_equal(np.asarray(got_deg), np.asarray(want_deg))
+
+
+def test_sparse_pallas_kernel_matches_xla_path():
+    """The table-driven Pallas kernel (interpreter) == the XLA formulation."""
+    x = _swarm(jax.random.key(5), 512, 8.0)
+    want = flocking_sums_sparse(x, CR, CR2, k_max=16, impl="xla")[:, :9]
+    got = flocking_sums_sparse(x, CR, CR2, k_max=16, interpret=True)[:, :9]
+    scale = 1.0 + jnp.abs(want)
+    assert float(jnp.max(jnp.abs(got - want) / scale)) < 1e-5
+
+    xb = jnp.stack([x, x[::-1]])
+    got_b = flocking_sums_sparse(xb, CR, CR2, k_max=16, interpret=True)[:, :, :9]
+    want_b = flocking_sums_sparse(xb, CR, CR2, k_max=16, impl="xla")[:, :, :9]
+    scale = 1.0 + jnp.abs(want_b)
+    assert float(jnp.max(jnp.abs(got_b - want_b) / scale)) < 1e-5
+
+
+def test_sparse_env_matches_large_env():
+    """FlockingSparse-v0 == FlockingLarge-v0: obs, expert, reward over a
+    short rollout from the same reset."""
+    import gym_flock_tpu as gft
+
+    env_s, params = gft.make("FlockingSparse-v0", n_agents=256, max_reset_tries=4)
+    env_l, _ = gft.make("FlockingLarge-v0", n_agents=256, max_reset_tries=4)
+
+    key = jax.random.key(0)
+    state_s, obs_s = env_s.reset_env(key, params)
+    state_l, obs_l = env_l.reset_env(key, params)
+    np.testing.assert_array_equal(np.asarray(state_s.x), np.asarray(state_l.x))
+    for t in range(3):
+        u_s = env_s.controller(state_s, params)
+        u_l = env_l.controller(state_l, params)
+        np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_l), atol=1e-4)
+        kt = jax.random.key(t + 1)
+        state_s, (vals_s, deg_s), r_s, _, _ = env_s.step_env(kt, state_s, u_s, params)
+        state_l, (vals_l, deg_l), r_l, _, _ = env_l.step_env(kt, state_l, u_l, params)
+        scale = 1.0 + np.abs(np.asarray(vals_l))
+        assert float(np.max(np.abs(np.asarray(vals_s) - np.asarray(vals_l)) / scale)) < 1e-4
+        np.testing.assert_array_equal(np.asarray(deg_s), np.asarray(deg_l))
+        np.testing.assert_allclose(float(r_s), float(r_l), rtol=1e-5)
