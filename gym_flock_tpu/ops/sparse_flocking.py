@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from gym_flock_tpu.ops.pallas_flocking import N_OUT
@@ -47,6 +48,8 @@ __all__ = [
     "hilbert_order",
     "block_pair_table",
     "flocking_sums_sparse",
+    "adjacency_matmul_sparse",
+    "khop_aggregate_sparse",
 ]
 
 BLOCK = 128
@@ -436,3 +439,258 @@ def flocking_sums_sparse(
     """
     scal = jnp.asarray([comm_radius, comm_radius2], jnp.result_type(x.dtype))
     return _sparse_vmappable_for(k_max, interpret, impl)(x, scal)
+
+
+# =============================================================================
+# Sparse GNN aggregation: (A(x) @ H) over listed block pairs only
+# =============================================================================
+
+
+def _sparse_adj_kernel(scal, table, valid, px_c, py_c, px_r, py_r, h_ref,
+                       out_ref, deg_ref, *, bi):
+    # grid = (B, n_b, k_max); H column block DMA'd via the table index map
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    k = pl.program_id(2)
+    cr2 = scal[0]
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        deg_ref[:] = jnp.zeros_like(deg_ref)
+
+    @pl.when(valid[b, i, k] != 0)
+    def _():
+        j = table[b, i, k]
+        row_ids = i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bi), 0)
+        col_ids = j * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bi), 1)
+        dx = px_c[0] - px_r[0]
+        dy = py_c[0] - py_r[0]
+        r2 = dx * dx + dy * dy
+        adj = ((r2 < cr2) & (row_ids != col_ids)).astype(jnp.float32)
+        part = jnp.dot(adj, h_ref[0].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        out_ref[:] = out_ref[:] + part[None]
+        deg_ref[:] = deg_ref[:] + jnp.sum(adj, axis=1, keepdims=True)[None]
+
+
+def _sparse_adj_pallas(xs, hs, table, comm_radius2, interpret=False):
+    """Table-driven (A @ H, degree) over sorted operands; see
+    :func:`_sparse_sums_pallas` for the scheme."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, _ = xs.shape
+    n_b = n // BLOCK
+    k_max = table.shape[-1]
+    f = hs.shape[-1]
+
+    valid = (table >= 0).astype(jnp.int32)
+    tbl = jnp.maximum(table, 0)
+    scal = jnp.asarray([comm_radius2], jnp.float32)
+    px = xs[:, :, 0].reshape(b, n, 1)
+    py = xs[:, :, 1].reshape(b, n, 1)
+    qx = xs[:, :, 0].reshape(b, 1, n)
+    qy = xs[:, :, 1].reshape(b, 1, n)
+
+    col_spec = pl.BlockSpec((1, BLOCK, 1), lambda bb, i, k, s_, t_, v_: (bb, i, 0))
+    row_spec = pl.BlockSpec(
+        (1, 1, BLOCK), lambda bb, i, k, s_, t_, v_: (bb, 0, t_[bb, i, k])
+    )
+    h_spec = pl.BlockSpec(
+        (1, BLOCK, f), lambda bb, i, k, s_, t_, v_: (bb, t_[bb, i, k], 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, n_b, k_max),
+        in_specs=[col_spec, col_spec, row_spec, row_spec, h_spec],
+        out_specs=(
+            pl.BlockSpec((1, BLOCK, f), lambda bb, i, k, s_, t_, v_: (bb, i, 0)),
+            pl.BlockSpec((1, BLOCK, 1), lambda bb, i, k, s_, t_, v_: (bb, i, 0)),
+        ),
+    )
+    out, deg = pl.pallas_call(
+        functools.partial(_sparse_adj_kernel, bi=BLOCK),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scal, tbl, valid, px, py, qx, qy, hs)
+    return out.astype(hs.dtype), deg[..., 0]
+
+
+def _sparse_adj_xla(xs, hs, table, comm_radius2):
+    """XLA formulation of the sparse (A @ H, degree) pass (CPU path)."""
+    b, n, _ = xs.shape
+    n_b = n // BLOCK
+
+    def one_env(xsi, hsi, tablei):
+        xb = xsi.reshape(n_b, BLOCK, 4)
+
+        def one_row(i, row):
+            def body(carry, j):
+                acc, dacc = carry
+                valid = j >= 0
+                jc = jnp.maximum(j, 0)
+                z = jnp.zeros((), jc.dtype)
+                xc = jax.lax.dynamic_slice(xsi, (jc * BLOCK, z), (BLOCK, 4))
+                hc = jax.lax.dynamic_slice(
+                    hsi, (jc * BLOCK, z), (BLOCK, hsi.shape[-1])
+                )
+                row_ids = i * BLOCK + jnp.arange(BLOCK)
+                col_ids = jc * BLOCK + jnp.arange(BLOCK)
+                dx = row[:, 0, None] - xc[None, :, 0]
+                dy = row[:, 1, None] - xc[None, :, 1]
+                r2 = dx * dx + dy * dy
+                adj = (
+                    (r2 < comm_radius2)
+                    & (row_ids[:, None] != col_ids[None, :])
+                ).astype(hsi.dtype)
+                t = adj @ hc
+                d = jnp.sum(adj, axis=1)
+                keep = valid.astype(hsi.dtype)
+                return (acc + t * keep, dacc + d * keep), None
+
+            acc0 = (
+                jnp.zeros((BLOCK, hsi.shape[-1]), hsi.dtype),
+                jnp.zeros((BLOCK,), hsi.dtype),
+            )
+            (acc, dacc), _ = jax.lax.scan(body, acc0, tablei[i])
+            return acc, dacc
+
+        return jax.vmap(one_row)(jnp.arange(n_b), xb)
+
+    out, deg = jax.vmap(one_env)(xs, hs, table)
+    return out.reshape(b, n, -1), deg.reshape(b, n)
+
+
+def _make_diff_sparse_adj(interpret, impl):
+    """Custom VJP for the sorted sparse aggregation pass.
+
+    The radius adjacency is SYMMETRIC and the bbox candidate relation is
+    symmetric (j in table[i] iff i in table[j]), so the backward pass is
+    the SAME table-driven pass applied to the cotangent: dH = A d_out.
+    Positions are a step function of x (zero cotangent a.e.).
+    """
+
+    def kernel(xs, hs, table, scal):
+        if impl == "pallas":
+            return _sparse_adj_pallas(xs, hs, table, scal[0], interpret=interpret)
+        return _sparse_adj_xla(xs, hs, table, scal[0])
+
+    @jax.custom_vjp
+    def f(xs, hs, table, scal):
+        return kernel(xs, hs, table, scal)
+
+    def fwd(xs, hs, table, scal):
+        return kernel(xs, hs, table, scal), (xs, table, scal)
+
+    def bwd(res, cts):
+        xs, table, scal = res
+        d_out, _d_deg = cts
+        dh, _ = kernel(xs, d_out, table, scal)
+        f0 = np.zeros(table.shape, jax.dtypes.float0)
+        return jnp.zeros_like(xs), dh, f0, jnp.zeros_like(scal)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_DIFF_SPARSE_ADJ_CACHE = {}
+
+
+def _diff_sparse_adj_for(interpret, impl):
+    key = (interpret, impl)
+    if key not in _DIFF_SPARSE_ADJ_CACHE:
+        _DIFF_SPARSE_ADJ_CACHE[key] = _make_diff_sparse_adj(*key)
+    return _DIFF_SPARSE_ADJ_CACHE[key]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mean_pool", "k_max", "interpret", "impl")
+)
+def adjacency_matmul_sparse(
+    x: jax.Array,
+    h: jax.Array,
+    comm_radius2,
+    mean_pool: bool = True,
+    k_max: int = 16,
+    interpret: bool = False,
+    impl: str = "auto",
+):
+    """Block-sparse ``ops.adjacency_matmul``: (A(x) @ H) over the cell-list
+    block pairs only — O(N * neighbors) GNN aggregation.
+
+    Same contract as the dense kernel (exact adjacency — bbox pruning is
+    conservative; differentiable in ``h`` via a custom VJP that reruns the
+    same sparse pass on the cotangent, using the symmetry of both A and
+    the candidate relation).  Overflow falls back to the dense kernel
+    through a real branch.  [N, *] or [B, N, *] inputs.
+    """
+    from gym_flock_tpu.ops.pallas_flocking import adjacency_matmul
+
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
+    if interpret and impl == "auto":
+        impl = "pallas"
+
+    squeeze = x.ndim == 2
+    xb = x[None] if squeeze else x
+    hb = h[None] if squeeze else h
+    n = xb.shape[1]
+    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
+    cr = jnp.sqrt(comm_radius2)
+
+    def prep(xi):
+        perm = hilbert_order(xi, cr)
+        table, overflow = block_pair_table(xi[perm], cr, k_max)
+        return perm, table, overflow
+
+    perm, table, overflow = jax.vmap(prep)(xb)
+    scal = jnp.asarray([comm_radius2], jnp.result_type(x.dtype))
+
+    def sparse_path(operands):
+        perm_, table_ = operands
+        take = jax.vmap(lambda v, p: v[p])
+        xs = take(xb, perm_)
+        hs = take(hb, perm_)
+        out_s, deg_s = _diff_sparse_adj_for(interpret, impl)(xs, hs, table_, scal)
+        inv = jax.vmap(
+            lambda p: jnp.zeros((n,), jnp.int32).at[p].set(jnp.arange(n, dtype=jnp.int32))
+        )(perm_)
+        out = take(out_s, inv)
+        deg = take(deg_s, inv)
+        if mean_pool:
+            out = out / jnp.where(deg == 0, 1.0, deg)[..., None].astype(out.dtype)
+        return out
+
+    def dense_path(operands):
+        return adjacency_matmul(xb, hb, comm_radius2, mean_pool=mean_pool,
+                                interpret=interpret)
+
+    out = jax.lax.cond(jnp.any(overflow), dense_path, sparse_path, (perm, table))
+    return out[0] if squeeze else out
+
+
+def khop_aggregate_sparse(
+    x: jax.Array,
+    features: jax.Array,
+    comm_radius2,
+    k_hops: int,
+    mean_pool: bool = True,
+    k_max: int = 16,
+    interpret: bool = False,
+):
+    """[X, AX, A^2 X, ...] via the block-sparse aggregation — the
+    O(N * neighbors) input pipeline for :class:`models.LargeAggregationGNN`
+    on cell-list swarms (pass as its ``aggregate_fn``)."""
+    zs = [features]
+    z = features
+    for _ in range(k_hops - 1):
+        z = adjacency_matmul_sparse(
+            x, z, comm_radius2, mean_pool=mean_pool, k_max=k_max,
+            interpret=interpret,
+        )
+        zs.append(z)
+    return jnp.concatenate(zs, axis=-1)

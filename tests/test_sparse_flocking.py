@@ -99,3 +99,57 @@ def test_sparse_env_matches_large_env():
         assert float(np.max(np.abs(np.asarray(vals_s) - np.asarray(vals_l)) / scale)) < 1e-4
         np.testing.assert_array_equal(np.asarray(deg_s), np.asarray(deg_l))
         np.testing.assert_allclose(float(r_s), float(r_l), rtol=1e-5)
+
+
+def test_sparse_adjacency_matmul_matches_dense_and_differentiates():
+    """Sparse (A@H) == dense adjacency_matmul, forward AND gradient."""
+    from gym_flock_tpu.ops.pallas_flocking import adjacency_matmul
+    from gym_flock_tpu.ops.sparse_flocking import adjacency_matmul_sparse
+
+    kx, kh, kc = jax.random.split(jax.random.key(9), 3)
+    x = _swarm(kx, 512, 8.0)
+    h = jax.random.normal(kh, (512, 6), jnp.float32)
+    co = jax.random.normal(kc, (512, 6), jnp.float32)
+
+    for mean_pool in (False, True):
+        want = adjacency_matmul(x, h, CR2, mean_pool=mean_pool, interpret=True)
+        got = adjacency_matmul_sparse(x, h, CR2, mean_pool=mean_pool)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+        want_g = jax.grad(
+            lambda hv: jnp.sum(
+                adjacency_matmul(x, hv, CR2, mean_pool=mean_pool, interpret=True) * co
+            )
+        )(h)
+        got_g = jax.grad(
+            lambda hv: jnp.sum(
+                adjacency_matmul_sparse(x, hv, CR2, mean_pool=mean_pool) * co
+            )
+        )(h)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g), atol=2e-4)
+
+
+def test_sparse_khop_in_large_gnn_trains():
+    """LargeAggregationGNN with the sparse aggregate_fn produces the same
+    forward as the dense module and trains (params move)."""
+    import functools
+
+    from gym_flock_tpu.models import LargeAggregationGNN
+    from gym_flock_tpu.ops.sparse_flocking import khop_aggregate_sparse
+
+    kx, kh = jax.random.split(jax.random.key(10))
+    x = _swarm(kx, 256, 6.0)
+    feats = jax.random.normal(kh, (256, 6), jnp.float32)
+
+    dense = LargeAggregationGNN(comm_radius2=CR2, interpret=True)
+    sparse = LargeAggregationGNN(
+        comm_radius2=CR2,
+        aggregate_fn=functools.partial(khop_aggregate_sparse, comm_radius2=CR2, k_hops=3),
+    )
+    params = dense.init(jax.random.key(0), x, feats)
+    out_d = dense.apply(params, x, feats)
+    out_s = sparse.apply(params, x, feats)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d), atol=2e-4)
+
+    g = jax.grad(lambda p: jnp.sum(sparse.apply(p, x, feats) ** 2))(params)
+    assert max(float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(g)) > 0
