@@ -25,6 +25,8 @@ import numpy as np
 
 __all__ = [
     "reference_flocking_reset",
+    "reference_twoflocks_reset",
+    "reference_stochastic_dt",
     "reference_shepherding_reset",
     "reference_coverage_reset",
     "reference_coverage_arl_subgraph",
@@ -85,6 +87,45 @@ def reference_flocking_reset(
         a_net = a_net < comm_radius2
         degree = np.min(np.sum(a_net.astype(int), axis=1))
     return x
+
+
+def reference_twoflocks_reset(
+    n_agents: int = 100,
+    v_bias: float = 5.0,
+    rng=np.random,
+) -> np.ndarray:
+    """Replay the reference ``FlockingTwoFlocksEnv.reset()`` draw sequence
+    (flocking_twoflocks.py:8-26) byte-exactly.
+
+    One draw on the global stream: ``bias ~ U(-v_bias/2, v_bias/2, size=2)``;
+    positions are the deterministic 0.8-grid (``utils/formations.grid`` is
+    byte-identical to reference flocking/utils.py:23-30) and velocities are
+    ``-grid + bias``.  Returns x [n, 4].
+    """
+    from gym_flock_tpu.utils.formations import grid
+
+    bias = rng.uniform(low=-v_bias / 2.0, high=v_bias / 2.0, size=(2,))
+    x = np.zeros((n_agents, 4))
+    grids = grid(n_agents, side=int(n_agents / 10))
+    x[:, 0:2] = grids
+    x[:, 2:4] = -grids
+    x[:, 2] = x[:, 2] + bias[0]
+    x[:, 3] = x[:, 3] + bias[1]
+    return x
+
+
+def reference_stochastic_dt(
+    rng=np.random, dt_mean: float = 0.12, dt_sigma: float = 0.018
+) -> float:
+    """One per-step dt draw of ``FlockingStochasticEnv`` (flocking_stoch.py:20:
+    ``np.random.normal(dt_mean, dt_sigma)`` on the GLOBAL stream).
+
+    For seed-exact golden trajectories, replay the whole stream: seed a
+    ``RandomState``, consume the reset draws via
+    :func:`reference_flocking_reset`, then call this once per step and feed
+    the dt into ``FlockingStochasticEnv.step_with_dt``.
+    """
+    return float(rng.normal(dt_mean, dt_sigma))
 
 
 def gym011_np_random(seed: int) -> np.random.RandomState:

@@ -309,6 +309,16 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
     def _action_scale(self, params: FlockingParams):
         return params.action_scalar
 
+    def _reset_accept(self, x: jax.Array, params: FlockingParams) -> jax.Array:
+        """Acceptance test of the rejection-sampling reset (reference
+        flocking_relative.py:164): min degree >= 2 and min pairwise
+        distance > ``min_dist_thresh``.  Dense O(N^2); the cell-list
+        variant overrides with the O(N) test."""
+        _, _, _, _, r2 = _pairwise_channels(x)
+        min_dist = jnp.sqrt(jnp.min(r2))
+        degree = jnp.min(jnp.sum(r2 < params.comm_radius2, axis=1))
+        return (degree >= 2) & (min_dist > params.min_dist_thresh)
+
     # ------------------------------------------------------------ protocol
 
     def reset_env(self, key: jax.Array, params: FlockingParams):
@@ -343,10 +353,7 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
             return x
 
         def accept(x):
-            _, _, _, _, r2 = _pairwise_channels(x)
-            min_dist = jnp.sqrt(jnp.min(r2))
-            degree = jnp.min(jnp.sum(r2 < params.comm_radius2, axis=1))
-            return (degree >= 2) & (min_dist > params.min_dist_thresh)
+            return self._reset_accept(x, params)
 
         def cond(carry):
             _, _, ok, tries = carry
@@ -410,7 +417,12 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
         p = 1.0 / r2 + jnp.log(r2)
         p = jnp.where(r2 > cr2, vr, p)
         n = params.n_agents
-        p = jnp.where(jnp.eye(n, dtype=bool), 0.0, p)
+        # iota-equality diagonal mask, consistent with _pairwise_channels
+        # (jnp.eye materializes an [N, N] operand that blocks reduce fusion)
+        eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == (
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        )
+        p = jnp.where(eye, 0.0, p)
         return jnp.sum(p)
 
     def get_stats(self, state: FlockingState) -> Dict[str, jax.Array]:
@@ -544,10 +556,20 @@ class FlockingStochasticEnv(FlockingRelativeEnv):
     """
 
     def step_env(self, key, state: FlockingState, action, params: FlockingParams):
+        dt = params.dt_mean + params.dt_sigma * jax.random.normal(key, ())
+        return self.step_with_dt(state, action, dt, params)
+
+    def step_with_dt(self, state: FlockingState, action, dt, params: FlockingParams):
+        """Step with an externally supplied dt.
+
+        Parity entry point: feed dts replayed from the reference's global
+        ``np.random`` stream (``compat.parity.reference_stochastic_dt``) to
+        reproduce reference trajectories seed-exactly
+        (tests/test_parity_reset.py).
+        """
         u = jnp.clip(action, -params.stoch_max_accel, params.stoch_max_accel)
         u = u * params.stoch_scale
         x = state.x * params.stoch_scale
-        dt = params.dt_mean + params.dt_sigma * jax.random.normal(key, ())
         x = _integrate(x, u, dt)
         x = x / params.stoch_scale
         new_state = state.replace(x=x, time=state.time + 1)
@@ -657,6 +679,16 @@ class SparseFlockingEnv(LargeFlockingEnv):
         from gym_flock_tpu.ops.sparse_flocking import flocking_sums_sparse
 
         return flocking_sums_sparse(x, params.comm_radius, params.comm_radius2)
+
+    def _reset_accept(self, x, params):
+        # the inherited dense test would materialize O(N^2) pairwise
+        # temporaries (~1 GB f32 at the default N=16384) per rejection draw;
+        # the cell-list test is exact and O(N * k_max * 128)
+        from gym_flock_tpu.ops.sparse_flocking import sparse_reset_accept
+
+        return sparse_reset_accept(
+            x, params.comm_radius, params.comm_radius2, params.min_dist_thresh
+        )
 
     def _obs(self, state: FlockingState, params: FlockingParams):
         s = self._sums(state.x, params)

@@ -48,6 +48,7 @@ __all__ = [
     "hilbert_order",
     "block_pair_table",
     "flocking_sums_sparse",
+    "sparse_reset_accept",
     "adjacency_matmul_sparse",
     "khop_aggregate_sparse",
 ]
@@ -186,7 +187,8 @@ def _block_sums_tile(xr, xc, row_off, col_off, comm_radius, comm_radius2):
 def _sparse_sums_sorted(xs: jax.Array, table: jax.Array, comm_radius, comm_radius2):
     """Channel sums over the listed block pairs only (sorted order).
 
-    ``xs`` [N, 4] Morton-sorted, ``table`` [n_b, k_max].  XLA formulation:
+    ``xs`` [N, 4] curve-sorted (see hilbert_order), ``table`` [n_b, k_max].
+    XLA formulation:
     vmap over row blocks, scan over the k_max candidate slots with
     dynamic-slice loads of column blocks (whole contiguous 128-row blocks —
     the TPU-friendly granularity).
@@ -565,46 +567,164 @@ def _sparse_adj_xla(xs, hs, table, comm_radius2):
     return out.reshape(b, n, -1), deg.reshape(b, n)
 
 
-def _make_diff_sparse_adj(interpret, impl):
-    """Custom VJP for the sorted sparse aggregation pass.
+def _sparse_adj_raw_impl(
+    x: jax.Array,
+    h: jax.Array,
+    scal: jax.Array,
+    k_max: int,
+    interpret: bool,
+    impl: str,
+):
+    """Un-normalized sparse aggregation: ``(A(x) @ H, degree)``.
+
+    No custom_vjp here — differentiation is handled one level up
+    (:func:`adjacency_matmul_sparse`'s custom VJP), so this function only
+    needs to be vmappable, not differentiable.
+    """
+    if impl == "auto":
+        # interpret forces the (interpreted) pallas path; real CPU takes XLA
+        impl = "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
+
+    squeeze = x.ndim == 2
+    xb = x[None] if squeeze else x
+    hb = h[None] if squeeze else h
+    n = xb.shape[1]
+    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
+    comm_radius2 = scal[0]
+    cr = jnp.sqrt(comm_radius2)
+
+    def prep(xi):
+        perm = hilbert_order(xi, cr)
+        table, overflow = block_pair_table(xi[perm], cr, k_max)
+        return perm, table, overflow
+
+    perm, table, overflow = jax.vmap(prep)(xb)
+
+    def sparse_path(operands):
+        perm_, table_ = operands
+        take = jax.vmap(lambda v, p: v[p])
+        xs = take(xb, perm_)
+        hs = take(hb, perm_)
+        if impl == "pallas":
+            out_s, deg_s = _sparse_adj_pallas(
+                xs, hs, table_, comm_radius2, interpret=interpret
+            )
+        else:
+            out_s, deg_s = _sparse_adj_xla(xs, hs, table_, comm_radius2)
+        inv = jax.vmap(
+            lambda p: jnp.zeros((n,), jnp.int32).at[p].set(jnp.arange(n, dtype=jnp.int32))
+        )(perm_)
+        return take(out_s, inv), take(deg_s, inv)
+
+    def dense_path(operands):
+        # pathological clustering: whole-batch dense fallback (see
+        # flocking_sums_sparse); raw (A@H, degree) via the dense tile impl
+        from gym_flock_tpu.ops.pallas_flocking import (
+            _adj_block_vmappable_for,
+            _adj_matmul_impl,
+            _zero_offs,
+        )
+
+        if interpret or jax.default_backend() == "cpu":
+            return _adj_matmul_impl(
+                xb, xb, hb, _zero_offs(), comm_radius2, mean_pool=False,
+                interpret=True, return_deg=True,
+            )
+        return _adj_block_vmappable_for(None)(xb, xb, hb, _zero_offs(), scal)
+
+    out, deg = jax.lax.cond(
+        jnp.any(overflow), dense_path, sparse_path, (perm, table)
+    )
+    if squeeze:
+        return out[0], deg[0]
+    return out, deg
+
+
+def _make_sparse_adj_raw_vmappable(k_max, interpret, impl):
+    @jax.custom_batching.custom_vmap
+    def f(x, h, scal):
+        return _sparse_adj_raw_impl(x, h, scal, k_max, interpret, impl)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, x, h, scal):
+        # same routing as _make_sparse_vmappable: send vmap to the NATIVE
+        # [B, N, *] batch form so the overflow fallback stays a real
+        # scalar-predicate lax.cond — vmapping the plain form lowers the
+        # cond to a select that executes BOTH the sparse and the dense
+        # O(N^2) adjacency pass for every element.
+        x_b, h_b, scal_b = in_batched
+        assert not scal_b, "vmap over radii unsupported; close over them instead"
+        assert x_b and h_b, "x and h must be batched together"
+        if x.ndim > 3:
+            lead = x.shape[:-2]
+            out, deg = _sparse_adj_raw_impl(
+                x.reshape((-1,) + x.shape[-2:]),
+                h.reshape((-1,) + h.shape[-2:]),
+                scal, k_max, interpret, impl,
+            )
+            return (
+                (out.reshape(lead + out.shape[1:]), deg.reshape(lead + deg.shape[1:])),
+                (True, True),
+            )
+        out, deg = _sparse_adj_raw_impl(x, h, scal, k_max, interpret, impl)
+        batched = x.ndim == 3
+        return (out, deg), (batched, batched)
+
+    return f
+
+
+_SPARSE_ADJ_RAW_CACHE = {}
+
+
+def _sparse_adj_raw_for(k_max, interpret, impl):
+    key = (k_max, interpret, impl)
+    if key not in _SPARSE_ADJ_RAW_CACHE:
+        _SPARSE_ADJ_RAW_CACHE[key] = _make_sparse_adj_raw_vmappable(*key)
+    return _SPARSE_ADJ_RAW_CACHE[key]
+
+
+def _make_diff_sparse_adj(mean_pool, k_max, interpret, impl):
+    """Differentiable sparse (A(x) @ H), custom VJP OUTSIDE the custom_vmap
+    (grad cannot go through a custom_vmap-wrapped function; same layering
+    as ops.pallas_flocking._make_diff_adj_matmul).
 
     The radius adjacency is SYMMETRIC and the bbox candidate relation is
     symmetric (j in table[i] iff i in table[j]), so the backward pass is
-    the SAME table-driven pass applied to the cotangent: dH = A d_out.
-    Positions are a step function of x (zero cotangent a.e.).
+    the SAME table-driven pass applied to the cotangent: dH = A d_out
+    (mean_pool: dH = A (d_out / deg); deg is H-independent).  Positions
+    are a step function of x (zero cotangent a.e.).
     """
-
-    def kernel(xs, hs, table, scal):
-        if impl == "pallas":
-            return _sparse_adj_pallas(xs, hs, table, scal[0], interpret=interpret)
-        return _sparse_adj_xla(xs, hs, table, scal[0])
+    kernel = _sparse_adj_raw_for(k_max, interpret, impl)
 
     @jax.custom_vjp
-    def f(xs, hs, table, scal):
-        return kernel(xs, hs, table, scal)
+    def f(x, h, scal):
+        out, deg = kernel(x, h, scal)
+        if not mean_pool:
+            return out
+        return out / jnp.where(deg == 0, 1.0, deg)[..., None].astype(out.dtype)
 
-    def fwd(xs, hs, table, scal):
-        return kernel(xs, hs, table, scal), (xs, table, scal)
+    def fwd(x, h, scal):
+        out, deg = kernel(x, h, scal)
+        if not mean_pool:
+            return out, (x, scal)
+        degc = jnp.where(deg == 0, 1.0, deg)[..., None].astype(out.dtype)
+        return out / degc, (x, scal, degc)
 
-    def bwd(res, cts):
-        xs, table, scal = res
-        d_out, _d_deg = cts
-        dh, _ = kernel(xs, d_out, table, scal)
-        f0 = np.zeros(table.shape, jax.dtypes.float0)
-        return jnp.zeros_like(xs), dh, f0, jnp.zeros_like(scal)
+    def bwd_sum(res, dy):
+        x, scal = res
+        dh, _ = kernel(x, dy, scal)
+        return jnp.zeros_like(x), dh, jnp.zeros_like(scal)
 
-    f.defvjp(fwd, bwd)
+    def bwd_mean(res, dy):
+        x, scal, degc = res
+        dh, _ = kernel(x, dy / degc, scal)
+        return jnp.zeros_like(x), dh, jnp.zeros_like(scal)
+
+    f.defvjp(fwd, bwd_mean if mean_pool else bwd_sum)
     return f
 
 
 _DIFF_SPARSE_ADJ_CACHE = {}
-
-
-def _diff_sparse_adj_for(interpret, impl):
-    key = (interpret, impl)
-    if key not in _DIFF_SPARSE_ADJ_CACHE:
-        _DIFF_SPARSE_ADJ_CACHE[key] = _make_diff_sparse_adj(*key)
-    return _DIFF_SPARSE_ADJ_CACHE[key]
 
 
 @functools.partial(
@@ -626,51 +746,15 @@ def adjacency_matmul_sparse(
     conservative; differentiable in ``h`` via a custom VJP that reruns the
     same sparse pass on the cotangent, using the symmetry of both A and
     the candidate relation).  Overflow falls back to the dense kernel
-    through a real branch.  [N, *] or [B, N, *] inputs.
+    through a real branch — kept a real branch even under ``jax.vmap``
+    via a ``custom_vmap`` rule routing to the native batch form.
+    [N, *] or [B, N, *] inputs.
     """
-    from gym_flock_tpu.ops.pallas_flocking import adjacency_matmul
-
-    if impl == "auto":
-        impl = "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
-    if interpret and impl == "auto":
-        impl = "pallas"
-
-    squeeze = x.ndim == 2
-    xb = x[None] if squeeze else x
-    hb = h[None] if squeeze else h
-    n = xb.shape[1]
-    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
-    cr = jnp.sqrt(comm_radius2)
-
-    def prep(xi):
-        perm = hilbert_order(xi, cr)
-        table, overflow = block_pair_table(xi[perm], cr, k_max)
-        return perm, table, overflow
-
-    perm, table, overflow = jax.vmap(prep)(xb)
+    key = (mean_pool, k_max, interpret, impl)
+    if key not in _DIFF_SPARSE_ADJ_CACHE:
+        _DIFF_SPARSE_ADJ_CACHE[key] = _make_diff_sparse_adj(*key)
     scal = jnp.asarray([comm_radius2], jnp.result_type(x.dtype))
-
-    def sparse_path(operands):
-        perm_, table_ = operands
-        take = jax.vmap(lambda v, p: v[p])
-        xs = take(xb, perm_)
-        hs = take(hb, perm_)
-        out_s, deg_s = _diff_sparse_adj_for(interpret, impl)(xs, hs, table_, scal)
-        inv = jax.vmap(
-            lambda p: jnp.zeros((n,), jnp.int32).at[p].set(jnp.arange(n, dtype=jnp.int32))
-        )(perm_)
-        out = take(out_s, inv)
-        deg = take(deg_s, inv)
-        if mean_pool:
-            out = out / jnp.where(deg == 0, 1.0, deg)[..., None].astype(out.dtype)
-        return out
-
-    def dense_path(operands):
-        return adjacency_matmul(xb, hb, comm_radius2, mean_pool=mean_pool,
-                                interpret=interpret)
-
-    out = jax.lax.cond(jnp.any(overflow), dense_path, sparse_path, (perm, table))
-    return out[0] if squeeze else out
+    return _DIFF_SPARSE_ADJ_CACHE[key](x, h, scal)
 
 
 def khop_aggregate_sparse(
@@ -694,3 +778,83 @@ def khop_aggregate_sparse(
         )
         zs.append(z)
     return jnp.concatenate(zs, axis=-1)
+
+
+def sparse_reset_accept(
+    x: jax.Array,
+    comm_radius,
+    comm_radius2,
+    min_dist_thresh,
+    k_max: int = 16,
+):
+    """Rejection-sampling acceptance test (min degree >= 2 AND min pairwise
+    distance > ``min_dist_thresh``, reference flocking_relative.py:164) in
+    O(N * k_max * BLOCK) memory instead of the dense O(N^2) pass.
+
+    Exactness: the candidate table is built at pruning radius
+    ``max(comm_radius, min_dist_thresh)``, so every pair that could either
+    contribute degree or violate the distance threshold is in a listed
+    block — pruned pairs are provably farther than both cutoffs.  Overflow
+    (pathologically clustered draws) falls back to a dense test via a real
+    ``lax.cond`` branch.  [N, 4] input, N a multiple of BLOCK.
+    """
+    n = x.shape[0]
+    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
+    n_b = n // BLOCK
+    prune_r = jnp.maximum(comm_radius, min_dist_thresh)
+    perm = hilbert_order(x, comm_radius)
+    xs = x[perm]
+    table, overflow = block_pair_table(xs, prune_r, k_max)
+
+    def sparse_ok(operands):
+        xs_, table_ = operands
+        xb = xs_.reshape(n_b, BLOCK, 4)
+
+        def one_row(i, row):
+            def body(carry, j):
+                min_r2, deg = carry
+                valid = j >= 0
+                jc = jnp.maximum(j, 0)
+                xc = jax.lax.dynamic_slice(
+                    xs_, (jc * BLOCK, jnp.zeros((), jc.dtype)), (BLOCK, 4)
+                )
+                row_ids = i * BLOCK + jnp.arange(BLOCK)
+                col_ids = jc * BLOCK + jnp.arange(BLOCK)
+                dx = row[:, 0, None] - xc[None, :, 0]
+                dy = row[:, 1, None] - xc[None, :, 1]
+                r2 = dx * dx + dy * dy
+                r2 = jnp.where(
+                    row_ids[:, None] == col_ids[None, :], jnp.inf, r2
+                )
+                t_min = jnp.min(r2, axis=1)
+                t_deg = jnp.sum((r2 < comm_radius2).astype(jnp.int32), axis=1)
+                min_r2 = jnp.where(valid, jnp.minimum(min_r2, t_min), min_r2)
+                deg = deg + jnp.where(valid, t_deg, 0).astype(deg.dtype)
+                return (min_r2, deg), None
+
+            init = (
+                jnp.full((BLOCK,), jnp.inf, xs_.dtype),
+                jnp.zeros((BLOCK,), jnp.int32),
+            )
+            (min_r2, deg), _ = jax.lax.scan(body, init, table_[i])
+            return min_r2, deg
+
+        min_r2, deg = jax.vmap(one_row)(jnp.arange(n_b), xb)
+        return (jnp.min(deg) >= 2) & (
+            jnp.sqrt(jnp.min(min_r2)) > min_dist_thresh
+        )
+
+    def dense_ok(operands):
+        xs_, _ = operands
+        px, py = xs_[:, 0], xs_[:, 1]
+        dx = px[:, None] - px[None, :]
+        dy = py[:, None] - py[None, :]
+        r2 = dx * dx + dy * dy
+        eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == (
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        )
+        r2 = jnp.where(eye, jnp.inf, r2)
+        degree = jnp.min(jnp.sum(r2 < comm_radius2, axis=1))
+        return (degree >= 2) & (jnp.sqrt(jnp.min(r2)) > min_dist_thresh)
+
+    return jax.lax.cond(overflow, dense_ok, sparse_ok, (xs, table))

@@ -260,3 +260,70 @@ def test_coverage_arl_reset_seed_parity():
     )
     np.testing.assert_allclose(np.asarray(obs["nodes"]), ref_obs["nodes"], atol=1e-6)
     np.testing.assert_allclose(np.asarray(obs["edges"]), ref_obs["edges"], atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [5, 11])
+def test_twoflocks_reset_bit_identical_and_golden_trajectory(seed):
+    """Seed-exact TwoFlocks reset (flocking_twoflocks.py:8-26) + 30-step
+    lockstep rollout under the expert at 1e-9."""
+    from gym_flock_tpu.compat.parity import reference_twoflocks_reset
+
+    n = 30
+    ref = make_reference_env("FlockingTwoFlocks-v0")
+    ref.n_agents = n
+
+    np.random.seed(seed)
+    ref.reset()
+
+    np.random.seed(seed)
+    x0 = reference_twoflocks_reset(n_agents=n, v_bias=ref.v_bias)
+    np.testing.assert_array_equal(x0, ref.x)  # bit-identical
+
+    env, params = gft.make("FlockingTwoFlocks-v0", n_agents=n)
+    state = env.init_state(jnp.asarray(x0), params)
+    for t in range(30):
+        ref_u = ref.controller()
+        u = env.controller(state, params)
+        np.testing.assert_allclose(np.asarray(u), ref_u, atol=1e-9, err_msg=f"t={t}")
+        ref.step(np.asarray(u))
+        state, _, _, _, _ = env.step_env(jax.random.key(0), state, u, params)
+        np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-9, err_msg=f"t={t}")
+
+
+@pytest.mark.parametrize("seed", [4, 13])
+def test_stochastic_dt_stream_golden_trajectory(seed):
+    """Seed-exact FlockingStochastic rollout: the per-step dt stream
+    (flocking_stoch.py:20 draws from GLOBAL np.random) is replayed
+    INDEPENDENTLY — the reference env and the replay each consume their own
+    copy of the seeded stream (reset draws, then one normal per step), so a
+    broken dt draw in the replay diverges the trajectories."""
+    from gym_flock_tpu.compat.parity import (
+        reference_flocking_reset,
+        reference_stochastic_dt,
+    )
+
+    n = 30
+    ref = make_reference_env("FlockingStochastic-v0")
+    ref.n_agents = n
+    ref.r_max = ref.r_max * np.sqrt(n)  # params_from_cfg scaling (ref :75)
+
+    np.random.seed(seed)
+    ref.reset()
+
+    rng = np.random.RandomState(seed)  # independent replay of the same stream
+    x0 = reference_flocking_reset(
+        n, ref.r_max, ref.v_max, ref.comm_radius2, rng=rng
+    )
+    np.testing.assert_array_equal(x0, ref.x)  # bit-identical reset
+
+    env, params = gft.make("FlockingStochastic-v0", n_agents=n)
+    state = env.init_state(jnp.asarray(x0), params)
+    for t in range(30):
+        ref_u = ref.controller()
+        u = env.controller(state, params)
+        np.testing.assert_allclose(np.asarray(u), ref_u, atol=1e-9, err_msg=f"t={t}")
+        ref.step(np.asarray(u))
+        dt = reference_stochastic_dt(rng)
+        assert dt == ref.dt  # the replayed stream IS the reference's
+        state, _, _, _, _ = env.step_with_dt(state, jnp.asarray(u), dt, params)
+        np.testing.assert_allclose(np.asarray(state.x), ref.x, atol=1e-9, err_msg=f"t={t}")

@@ -153,3 +153,58 @@ def test_sparse_khop_in_large_gnn_trains():
 
     g = jax.grad(lambda p: jnp.sum(sparse.apply(p, x, feats) ** 2))(params)
     assert max(float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(g)) > 0
+
+
+def test_sparse_reset_accept_matches_dense():
+    """sparse_reset_accept == the dense acceptance test, bit-for-bit
+    (degree counts are integers and per-pair r2 floats are identical), on
+    spread swarms, near-threshold swarms, and a clustered overflow draw."""
+    from gym_flock_tpu.ops.sparse_flocking import sparse_reset_accept
+
+    def dense_accept(x, thresh):
+        px, py = x[:, 0], x[:, 1]
+        dx = px[:, None] - px[None, :]
+        dy = py[:, None] - py[None, :]
+        r2 = dx * dx + dy * dy
+        n = x.shape[0]
+        r2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, r2)
+        deg = jnp.min(jnp.sum(r2 < CR2, axis=1))
+        return (deg >= 2) & (jnp.sqrt(jnp.min(r2)) > thresh)
+
+    cases = [
+        _swarm(jax.random.key(11), 256, 4.0),   # typical accept-ish
+        _swarm(jax.random.key(12), 512, 50.0),  # sparse -> low degree reject
+        _swarm(jax.random.key(13), 256, 0.02),  # clustered -> overflow path
+    ]
+    for thresh in (0.1, 0.5):
+        for x in cases:
+            want = bool(dense_accept(x, thresh))
+            got = bool(sparse_reset_accept(x, CR, CR2, thresh))
+            assert got == want, (thresh, float(jnp.min(jnp.abs(x))))
+
+
+def test_sparse_adjacency_matmul_vmap_routes_to_native_batch():
+    """jax.vmap of the unbatched form must equal per-element calls (the
+    custom_vmap rule reshapes into the native [B, N, *] batch so the
+    overflow fallback stays a real scalar branch)."""
+    from gym_flock_tpu.ops.sparse_flocking import adjacency_matmul_sparse
+
+    keys = jax.random.split(jax.random.key(21), 3)
+    xs = jax.vmap(lambda k: _swarm(k, 256, 6.0))(keys)
+    hs = jax.random.normal(jax.random.key(22), (3, 256, 5), jnp.float32)
+
+    got = jax.vmap(
+        lambda x, h: adjacency_matmul_sparse(x, h, CR2, mean_pool=True)
+    )(xs, hs)
+    want = jnp.stack(
+        [adjacency_matmul_sparse(xs[i], hs[i], CR2, mean_pool=True) for i in range(3)]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # gradient flows through the vmapped form too
+    g = jax.grad(
+        lambda hv: jnp.sum(
+            jax.vmap(lambda x, h: adjacency_matmul_sparse(x, h, CR2))(xs, hv)
+        )
+    )(hs)
+    assert np.all(np.isfinite(np.asarray(g)))
