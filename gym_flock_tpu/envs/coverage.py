@@ -73,14 +73,22 @@ class CoverageParams:
     revisit_nodes: bool = struct.field(pytree_node=False, default=False)
     nearby_starts: bool = struct.field(pytree_node=False, default=True)
     nearby_density: int = struct.field(pytree_node=False, default=5)
-    # non-default reference feature flags (coverage.py:41-46).  USE_POS_DELTA
-    # is NOT implemented: it is broken upstream (the un-doubled action_diff
-    # cannot concatenate with the doubled action_dist, coverage.py:287).
+    # non-default reference feature flags (coverage.py:41-46).
     # USE_NODE_HISTORY needs no state: the reference's history update guard
     # `USE_NODE_HISTORY == 4` is always False for a bool (coverage.py:268,
     # SURVEY.md §5.9e), so the history column is identically zero.
     comm_edges: bool = struct.field(pytree_node=False, default=False)
     last_edge_feature: bool = struct.field(pytree_node=False, default=False)
+    # USE_POS_DELTA is broken upstream in BOTH branches — pinned by
+    # tests/test_coverage_parity.py: the init write of [E,2] diffs into the
+    # N_EDGE_FEAT=1 buffer crashes at coverage.py:594, and with the buffer
+    # width patched the un-doubled action_diff cannot concatenate with the
+    # doubled action_dist at coverage.py:287.  ``pos_delta`` here is the
+    # REPAIRED intended semantics (beyond-reference): edge features become
+    # [dx, dy, dist] ([flag, dx, dy, dist] with last_edge_feature) with the
+    # reversed tail duplicates carrying negated diffs; motion rows keep raw
+    # (unnormalized) values like the dist quirk, tail rows are / res.
+    pos_delta: bool = struct.field(pytree_node=False, default=False)
     # --- dynamic ---
     frac_active_targets: float = 0.5
     res: float = DELTA
@@ -109,8 +117,10 @@ class CoverageParams:
 
     @property
     def n_edge_feat(self) -> int:
-        # [dist] or [last_edge_flag, dist] (reference coverage.py:296-314)
-        return 2 if self.last_edge_feature else 1
+        # [dist] or [last_edge_flag, dist] (reference coverage.py:296-314);
+        # pos_delta: [dx, dy, dist] / [flag, dx, dy, dist] (repaired mode)
+        base = 3 if self.pos_delta else 1
+        return base + (1 if self.last_edge_feature else 0)
 
 
 @struct.dataclass
@@ -339,6 +349,15 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         tail_receivers = jnp.concatenate([robots, nodes_g])
         tail_dist = jnp.concatenate([dist, dist]) / params.res  # (:292)
 
+        if params.pos_delta:
+            # repaired USE_POS_DELTA (see CoverageParams): per-edge position
+            # delta pos[sender] - pos[receiver]; the reversed duplicates
+            # negate it (upstream never doubles action_diff -> crash at
+            # coverage.py:287, pinned in tests)
+            tp_pd = params.bank["target_pos"][g]
+            nd = (tp_pd[nbr] - tp_pd[cur][:, None, :]).reshape((R * A, 2))
+            tail_diff = jnp.concatenate([nd, -nd]) / params.res
+
         # ---- robot-robot comm edges (COMM_EDGES, coverage.py:271-280):
         # R*(R-1) candidate off-diagonal pairs in np.nonzero row-major order;
         # in-range pairs are COMPACTED to the front of the comm block (the
@@ -367,6 +386,10 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             tail_senders = jnp.concatenate([tail_senders, comm_senders])
             tail_receivers = jnp.concatenate([tail_receivers, comm_receivers])
             tail_dist = jnp.concatenate([tail_dist, comm_dist])
+            if params.pos_delta:
+                cd = (rp[ii] - rp[jj])[order]
+                cd = jnp.where(slot[:, None], cd, 0.0) / params.res
+                tail_diff = jnp.concatenate([tail_diff, cd])
             n_tail_used = 2 * A * R + n_comm  # traced: varies per step
 
         # ---- last-edge flag (LAST_EDGE_FEATURE, coverage.py:296-308):
@@ -413,7 +436,21 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             senders = jnp.concatenate([motion_s, tail_senders])[idx]
             receivers = jnp.concatenate([motion_r, tail_receivers])[idx]
             dist_col = jnp.concatenate([motion_d, tail_dist])[idx]
-            if params.last_edge_feature:
+            if params.pos_delta:
+                # uniform repaired layout [flag?, dx, dy, dist] (motion rows
+                # flag 0, raw dist; tail rows already / res)
+                valid_m = motion_s >= 0
+                tp_pd2 = params.bank["target_pos"][g]
+                sp_m = tp_pd2[jnp.clip(motion_s - R, 0, T - 1)]
+                rp_m = tp_pd2[jnp.clip(motion_r - R, 0, T - 1)]
+                mdiff = jnp.where(valid_m[:, None], sp_m - rp_m, 0.0)
+                diffx = jnp.concatenate([mdiff[:, 0], tail_diff[:, 0]])[idx]
+                diffy = jnp.concatenate([mdiff[:, 1], tail_diff[:, 1]])[idx]
+                cols = [diffx, diffy, dist_col]
+                if params.last_edge_feature:
+                    cols = [jnp.concatenate([jnp.zeros((E,)), last_flag])[idx]] + cols
+                edge_feat = jnp.stack(cols, axis=1)
+            elif params.last_edge_feature:
                 flag_col = jnp.concatenate(
                     [jnp.zeros((E,)), last_flag]
                 )[idx]
@@ -436,7 +473,28 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             # (coverage.py:592 does NOT normalize by res, and with
             # LAST_EDGE_FEATURE the tail's dist moves to column 1 while
             # motion rows keep column 0 — quirks)
-            if params.last_edge_feature:
+            if params.pos_delta:
+                # uniform repaired layout [flag?, dx, dy, dist]
+                valid_m = motion_senders >= 0
+                tp_pd2 = params.bank["target_pos"][g]
+                sp_m = tp_pd2[jnp.clip(motion_senders - R, 0, T - 1)]
+                rp_m = tp_pd2[jnp.clip(motion_receivers - R, 0, T - 1)]
+                mdiff = jnp.where(valid_m[:, None], sp_m - rp_m, 0.0)
+                motion_cols = jnp.concatenate(
+                    [mdiff, motion_dists[:, None]], axis=1
+                )
+                tail_cols = jnp.concatenate(
+                    [tail_diff, tail_dist[:, None]], axis=1
+                )
+                if params.last_edge_feature:
+                    motion_cols = jnp.concatenate(
+                        [jnp.zeros((motion_cols.shape[0], 1)), motion_cols], axis=1
+                    )
+                    tail_cols = jnp.concatenate(
+                        [last_flag[:, None], tail_cols], axis=1
+                    )
+                edge_feat = jnp.concatenate([motion_cols, tail_cols], axis=0)
+            elif params.last_edge_feature:
                 motion_cols = jnp.stack(
                     [motion_dists, jnp.zeros_like(motion_dists)], axis=1
                 )

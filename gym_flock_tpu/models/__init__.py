@@ -4,4 +4,5 @@ from gym_flock_tpu.models.gnn import (
     LargeAggregationGNN,
     EdgeGraphNet,
     unpack_obs,
+    unpack_obs_state,
 )

@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["unpack_obs", "AggregationGNN", "LargeAggregationGNN", "EdgeGraphNet"]
+__all__ = [
+    "unpack_obs",
+    "unpack_obs_state",
+    "AggregationGNN",
+    "LargeAggregationGNN",
+    "EdgeGraphNet",
+]
 
 
 def unpack_obs(
@@ -73,6 +79,48 @@ def unpack_obs(
         "edge_mask": edge_mask,
         "globs": globs,
     }
+
+
+def unpack_obs_state(
+    obs: jax.Array,
+    state: jax.Array,
+    n_nodes: int,
+    dim_state: int,
+    n_node_feat: int = 3,
+    n_edge_feat: int = 1,
+    max_edges_per_node: int = 4,
+    n_glob_feat: int = 1,
+):
+    """State-augmented :func:`unpack_obs` (reference coverage.py:743-798,
+    ``unpack_obs_state``) — the GraphsTuple decode the external RL learner
+    uses when each node carries a pair of auxiliary state vectors (e.g. the
+    pre/post-transition hidden state).
+
+    ``state`` is [B, n_nodes * dim_state * 2] (or any shape reshapable to
+    [B, n_nodes, 2*dim_state]); the reference splits it per node into two
+    halves and concatenates each onto the node features, yielding two
+    augmented node tables.  Returns the :func:`unpack_obs` dict with two
+    extra entries:
+
+      nodes1 [B, N, nf + dim_state] — nodes ++ state[..., :dim_state]
+      nodes2 [B, N, nf + dim_state] — nodes ++ state[..., dim_state:]
+
+    Masking semantics are identical to :func:`unpack_obs` (fixed shapes +
+    ``edge_mask`` instead of TF boolean_mask).
+    """
+    g = unpack_obs(
+        obs,
+        n_nodes,
+        n_node_feat=n_node_feat,
+        n_edge_feat=n_edge_feat,
+        max_edges_per_node=max_edges_per_node,
+        n_glob_feat=n_glob_feat,
+    )
+    B = g["nodes"].shape[0]
+    st = state.reshape(B, n_nodes, 2 * dim_state)
+    g["nodes1"] = jnp.concatenate([g["nodes"], st[..., :dim_state]], axis=-1)
+    g["nodes2"] = jnp.concatenate([g["nodes"], st[..., dim_state:]], axis=-1)
+    return g
 
 
 class _MLP(nn.Module):

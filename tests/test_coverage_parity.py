@@ -494,3 +494,123 @@ def test_comm_edges_parity_sparse_connectivity(shared_graph):
         assert saw_partial, "test never exercised partial connectivity"
     finally:
         ref_mod.COMM_EDGES = old_flag
+
+
+def test_use_pos_delta_broken_upstream():
+    """Pin the upstream USE_POS_DELTA breakage (both branches):
+
+    1. with the stock N_EDGE_FEAT=1, __init__ crashes writing the [E,2]
+       motion diffs into the 1-wide edge buffer (coverage.py:594);
+    2. with the buffer width patched to 3, _get_obs_reward crashes at
+       coverage.py:287 (non-COMM) / :284 (COMM): action_dist is doubled
+       for the bidirectional edges but action_diff is not.
+
+    Our ``pos_delta`` param implements the repaired intended semantics
+    (see CoverageParams / test_pos_delta_edges_self_consistent)."""
+    import importlib
+
+    from tests.reference_oracle import load_reference
+
+    load_reference()
+    cov = importlib.import_module("gym_flock.envs.spatial.coverage")
+    saved = (cov.USE_POS_DELTA, cov.COMM_EDGES, cov.N_EDGE_FEAT)
+    try:
+        cov.USE_POS_DELTA = True
+        cov.COMM_EDGES = False
+        np.random.seed(0)
+        with pytest.raises(ValueError):
+            cov.CoverageEnv()  # coverage.py:594
+
+        cov.N_EDGE_FEAT = 3
+        for comm in (False, True):
+            cov.COMM_EDGES = comm
+            np.random.seed(0)
+            with pytest.raises(ValueError):
+                env = cov.CoverageEnv()
+                env.reset()  # coverage.py:287 / :284
+    finally:
+        cov.USE_POS_DELTA, cov.COMM_EDGES, cov.N_EDGE_FEAT = saved
+
+
+@pytest.mark.parametrize("last_edge", [False, True])
+def test_pos_delta_edges_self_consistent(shared_graph, last_edge):
+    """Repaired pos_delta mode: [flag?, dx, dy, dist] edges where
+    norm(dx, dy) == dist on every real edge, reversed tail duplicates
+    negate the delta, and the dist column is IDENTICAL to the
+    (reference-parity-tested) non-delta mode's dist."""
+    spec = build_graph_spec(
+        shared_graph, MAX_NODES - N_ROBOTS, N_ROBOTS, motion_radius=5.5 * 1.2,
+        horizon=10,
+    )
+    bank = build_graph_bank([spec])
+    env = CoverageEnv()
+    params = CoverageParams(bank=bank, pos_delta=True, last_edge_feature=last_edge)
+
+    key = jax.random.key(0)
+    state, obs = env.reset_env(key, params)
+    # take one step so last_loc is set (exercises the flag column)
+    u = env.controller(state, params, greedy=True)
+    state, obs, _, _, _ = env.step_env(jax.random.key(1), state, u, params)
+
+    edges = np.asarray(obs["edges"])
+    senders = np.asarray(obs["senders"])
+    assert edges.shape[1] == (4 if last_edge else 3)
+    off = 1 if last_edge else 0
+    dx, dy, dist = edges[:, off], edges[:, off + 1], edges[:, off + 2]
+
+    valid = senders != -1
+    np.testing.assert_allclose(
+        np.sqrt(dx[valid] ** 2 + dy[valid] ** 2), dist[valid], rtol=1e-5, atol=1e-6
+    )
+
+    # tail block: last 2*R*A rows; second half is the reversed duplicates
+    RA = N_ROBOTS * 4
+    fwd = edges[-2 * RA : -RA]
+    rev = edges[-RA:]
+    np.testing.assert_allclose(rev[:, off], -fwd[:, off], atol=1e-6)
+    np.testing.assert_allclose(rev[:, off + 1], -fwd[:, off + 1], atol=1e-6)
+    np.testing.assert_allclose(rev[:, off + 2], fwd[:, off + 2], atol=1e-6)
+
+    # dist column == non-delta mode's dist (bitwise same inputs)
+    state_n, _ = env.reset_env(key, params.replace(pos_delta=False))
+    state_n, obs_n, _, _, _ = env.step_env(
+        jax.random.key(1), state_n, u, params.replace(pos_delta=False)
+    )
+    edges_n = np.asarray(obs_n["edges"])
+    if last_edge:
+        # non-delta last-edge layout keeps the reference cross-column quirk:
+        # motion rows carry dist in col 0, tail rows [flag, dist]
+        n_tail = 2 * RA
+        np.testing.assert_allclose(dist[:-n_tail], edges_n[:-n_tail, 0], atol=1e-6)
+        np.testing.assert_allclose(dist[-n_tail:], edges_n[-n_tail:, 1], atol=1e-6)
+        np.testing.assert_allclose(edges[-n_tail:, 0], edges_n[-n_tail:, 0], atol=0)
+    else:
+        np.testing.assert_allclose(dist, edges_n[:, 0], atol=1e-6)
+
+
+def test_pos_delta_comm_edges_mode(shared_graph):
+    """pos_delta composes with comm_edges: dist column matches the
+    non-delta comm mode and deltas are norm-consistent."""
+    spec = build_graph_spec(
+        shared_graph, MAX_NODES - N_ROBOTS, N_ROBOTS, motion_radius=5.5 * 1.2,
+        horizon=10,
+    )
+    bank = build_graph_bank([spec])
+    env = CoverageEnv()
+    params = CoverageParams(bank=bank, pos_delta=True, comm_edges=True)
+
+    key = jax.random.key(2)
+    state, obs = env.reset_env(key, params)
+    edges = np.asarray(obs["edges"])
+    senders = np.asarray(obs["senders"])
+    assert edges.shape[1] == 3
+    valid = senders != -1
+    np.testing.assert_allclose(
+        np.sqrt(edges[valid, 0] ** 2 + edges[valid, 1] ** 2),
+        edges[valid, 2], rtol=1e-5, atol=1e-6,
+    )
+
+    state_n, obs_n = env.reset_env(key, params.replace(pos_delta=False))
+    np.testing.assert_allclose(
+        edges[:, 2], np.asarray(obs_n["edges"])[:, 0], atol=1e-6
+    )

@@ -345,3 +345,61 @@ def test_agent_sharded_train_step_matches_dense(tmp_path, use_pallas):
         ),
         params_s, params_d,
     )
+
+
+def test_unpack_obs_state_masked_parity_vs_reference_tf():
+    """unpack_obs_state == the reference TF implementation
+    (coverage.py:743-798), compared through the edge mask (the TF version
+    boolean-masks edges into a ragged batch; ours keeps fixed shapes + a
+    mask — identical content where valid)."""
+    tf = pytest.importorskip("tensorflow")
+    from tests.reference_oracle import load_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("reference checkout not available")
+    load_reference()
+    import importlib
+    from types import SimpleNamespace
+
+    cov_mod = importlib.import_module("gym_flock.envs.spatial.coverage")
+    if cov_mod.tf is None:  # reference gates TF at import time
+        cov_mod.tf = tf
+
+    from gym_flock_tpu.models import unpack_obs_state
+
+    env, params = gft.make("Coverage-v0", n_graphs=1)
+    state, obs = env.reset_env(jax.random.key(0), params)
+    flat = np.concatenate(
+        [np.asarray(obs[k], np.float32).ravel() for k in
+         ["nodes", "edges", "senders", "receivers", "step"]]
+    )[None, :]
+    dim_state = 4
+    rng = np.random.RandomState(0)
+    aux = rng.normal(size=(1, 500 * dim_state * 2)).astype(np.float32)
+
+    ob_space = SimpleNamespace(shape=(flat.shape[1],))
+    (bsz, n_node, nodes1, nodes2, n_edge, edges, senders, receivers, globs
+     ) = cov_mod.CoverageEnv.unpack_obs_state(
+        tf.constant(flat), ob_space, tf.constant(aux), dim_state
+    )
+
+    g = unpack_obs_state(jnp.asarray(flat), jnp.asarray(aux), 500, dim_state)
+
+    np.testing.assert_allclose(
+        np.asarray(g["nodes1"]).reshape(-1, 3 + dim_state), nodes1.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(g["nodes2"]).reshape(-1, 3 + dim_state), nodes2.numpy()
+    )
+    mask = np.asarray(g["edge_mask"]).reshape(-1)
+    assert int(n_edge.numpy().sum()) == int(mask.sum())
+    np.testing.assert_allclose(
+        np.asarray(g["edges"]).reshape(-1, 1)[mask], edges.numpy()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g["senders"]).reshape(-1)[mask], senders.numpy()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g["receivers"]).reshape(-1)[mask], receivers.numpy()
+    )
+    np.testing.assert_allclose(np.asarray(g["globs"]), globs.numpy())
