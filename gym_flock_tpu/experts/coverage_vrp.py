@@ -65,9 +65,13 @@ class CoverageVRPPolicy:
     (reference coverage.py:833-837).
     """
 
-    def __init__(self, params: CoverageParams, horizon: int = -1):
+    def __init__(self, params: CoverageParams, horizon: int = -1,
+                 mode: str = "improve"):
         self.params = params
         self.horizon = horizon
+        # "cheapest_arc" = label-reproducible PATH_CHEAPEST_ARC construction
+        # (see experts.vrp.solve_vrp_raw); "improve" = best solution quality
+        self.mode = mode
         self.cached: Optional[List[List[int]]] = None
         self._rng = np.random.RandomState(0)
 
@@ -110,7 +114,7 @@ class CoverageVRPPolicy:
             tm, pen, init = create_vrp_problem(
                 graph_cost, visited, discovered, cur, n_targets
             )
-            routes = solve_vrp_raw(tm, pen, init, float(budget))
+            routes = solve_vrp_raw(tm, pen, init, float(budget), mode=self.mode)
             # depot-node ids -> target indices
             self.cached = [[n - 1 for n in route] for route in routes]
 

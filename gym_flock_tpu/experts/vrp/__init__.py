@@ -44,8 +44,7 @@ def _load() -> ctypes.CDLL:
     global _LIB
     if _LIB is None:
         lib = ctypes.CDLL(str(_build_library()))
-        lib.vrp_solve.restype = ctypes.c_int
-        lib.vrp_solve.argtypes = [
+        argtypes = [
             ctypes.POINTER(ctypes.c_double),  # time_matrix
             ctypes.POINTER(ctypes.c_double),  # penalties
             ctypes.c_int,  # n_nodes
@@ -55,6 +54,10 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),  # out
             ctypes.c_int,  # max_len
         ]
+        lib.vrp_solve.restype = ctypes.c_int
+        lib.vrp_solve.argtypes = argtypes
+        lib.vrp_solve_cheapest_arc.restype = ctypes.c_int
+        lib.vrp_solve_cheapest_arc.argtypes = argtypes
         _LIB = lib
     return _LIB
 
@@ -72,9 +75,23 @@ def solve_vrp_raw(
     penalties: np.ndarray,
     init_loc: np.ndarray,
     max_route_time: float,
+    mode: str = "improve",
 ) -> List[List[int]]:
     """Solve the depot-augmented VRP; returns per-vehicle node sequences
-    (1-based node ids as in the depot-augmented matrix, depot excluded)."""
+    (1-based node ids as in the depot-augmented matrix, depot excluded).
+
+    ``mode``:
+      * ``"improve"`` (default) — cheapest-arc + regret constructions with
+        2-opt / relocate / or-opt improvement; best solution quality
+        (measured +21% reward over the greedy expert);
+      * ``"cheapest_arc"`` — OR-Tools PATH_CHEAPEST_ARC first-solution
+        construction with exact arc ordering and tie-breaks (reference
+        vrp_solver.py:115-134), no improvement passes: the deterministic,
+        label-reproducible mode for imitation datasets.  Residual
+        difference vs the reference pipeline: OR-Tools' default search
+        parameters additionally run greedy-descent local search on top of
+        this construction (see vrp_solver.cc for the derivation).
+    """
     lib = _load()
     n = time_matrix.shape[0]
     num_vehicles = len(init_loc)
@@ -84,7 +101,13 @@ def solve_vrp_raw(
     max_len = n + 2
     out = np.full((num_vehicles, max_len), -1, dtype=np.int32)
 
-    rc = lib.vrp_solve(
+    if mode == "cheapest_arc":
+        fn = lib.vrp_solve_cheapest_arc
+    elif mode == "improve":
+        fn = lib.vrp_solve
+    else:
+        raise ValueError(f"unknown VRP mode {mode!r}")
+    rc = fn(
         tm.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         pen.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int(n),

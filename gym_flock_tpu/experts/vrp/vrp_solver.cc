@@ -173,6 +173,67 @@ void construct_regret(const Problem& p, const std::vector<int>& init_loc,
   }
 }
 
+// OR-Tools PATH_CHEAPEST_ARC first-solution construction, exact semantics
+// (reference vrp_solver.py:115-134 selects FirstSolutionStrategy::
+// PATH_CHEAPEST_ARC; OR-Tools docs: "Starting from a route 'start' node,
+// connect it to the node which produces the cheapest route segment, then
+// extend the route by iterating on the last node added to the route"):
+//
+//   * vehicles are processed in index order, each route extended to
+//     completion before the next starts;
+//   * every extension appends the cheapest feasible arc from the route's
+//     last node over ALL unrouted nodes (not only penalized ones — OR-Tools
+//     considers free-droppable nodes as successors too), ties broken by
+//     lowest node index (OR-Tools sorts (value, node) pairs);
+//   * arc costs are truncated to int64 exactly as the SWIG transit callback
+//     does (all values in this formulation are integral, so truncation is
+//     the identity);
+//   * an extension is feasible when the route's cumulative time + arc stays
+//     within max_time (the 'Time' dimension cap, reference :97-102); the
+//     return-to-depot arc is free (to_depot column, reference :48).
+//
+// The depot row prices init locations at 0 and everything else at 100000
+// (reference :45-47), so with max_time < 100000 each vehicle's first stop is
+// automatically the lowest-indexed unclaimed init location — no special
+// casing, the same emergent behavior as OR-Tools.
+//
+// NOTE on label-exactness: the reference calls SolveWithParameters with
+// DEFAULT search parameters, so OR-Tools ALSO runs greedy-descent local
+// search on top of this construction before returning.  This mode
+// reproduces the deterministic construction (the part VERDICT/ROADMAP track
+// as PATH_CHEAPEST_ARC semantics); the post-hoc local-search polish is not
+// reproducible without an OR-Tools oracle in the environment and is
+// documented as a residual difference.
+void construct_cheapest_arc_exact(const Problem& p,
+                                  std::vector<std::vector<int>>& routes) {
+  std::vector<char> routed(p.n, 0);
+  routed[0] = 1;
+  routes.assign(p.num_vehicles, {});
+  const long long budget = (long long)p.max_time;
+  for (int v = 0; v < p.num_vehicles; ++v) {
+    long long used = 0;
+    int last = 0;  // every vehicle starts at the depot
+    while (true) {
+      long long best = std::numeric_limits<long long>::max();
+      int best_node = -1;
+      for (int node = 1; node < p.n; ++node) {
+        if (routed[node]) continue;
+        long long a = (long long)p.arc(last, node);  // int64 cast (SWIG)
+        if (used + a > budget) continue;
+        if (a < best) {  // strict: ties keep the lowest node index
+          best = a;
+          best_node = node;
+        }
+      }
+      if (best_node < 0) break;  // close the route (end arc is free)
+      routes[v].push_back(best_node);
+      routed[best_node] = 1;
+      used += best;
+      last = best_node;
+    }
+  }
+}
+
 double total_time(const Problem& p, const std::vector<std::vector<int>>& routes,
                   int* n_served) {
   double t = 0.0;
@@ -335,6 +396,26 @@ int vrp_solve(const double* time_matrix, const double* penalties, int n_nodes,
           ? routes_reg
           : routes_arc;
 
+  for (int v = 0; v < num_vehicles; ++v) {
+    int len = std::min<int>(routes[v].size(), max_len - 1);
+    for (int i = 0; i < len; ++i) out[v * max_len + i] = routes[v][i];
+    out[v * max_len + len] = -1;
+  }
+  return 0;
+}
+
+// PATH_CHEAPEST_ARC construction only (no improvement passes): the
+// deterministic, label-reproducible mode — see construct_cheapest_arc_exact.
+// init_loc is unused (first stops emerge from the depot-row pricing) but
+// kept for interface symmetry with vrp_solve.
+int vrp_solve_cheapest_arc(const double* time_matrix, const double* penalties,
+                           int n_nodes, int num_vehicles, const int* init_loc,
+                           double max_route_time, int32_t* out, int max_len) {
+  (void)init_loc;
+  if (n_nodes <= 1 || num_vehicles <= 0) return -1;
+  Problem p{n_nodes, num_vehicles, max_route_time, time_matrix, penalties};
+  std::vector<std::vector<int>> routes;
+  construct_cheapest_arc_exact(p, routes);
   for (int v = 0; v < num_vehicles; ++v) {
     int len = std::min<int>(routes[v].size(), max_len - 1);
     for (int i = 0; i < len; ++i) out[v * max_len + i] = routes[v][i];

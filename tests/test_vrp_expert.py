@@ -92,3 +92,142 @@ def test_vrp_expert_beats_greedy_on_coverage():
     greedy = sum(episode("greedy", s) for s in range(2))
     vrp = sum(episode("vrp", s) for s in range(2))
     assert vrp >= greedy, f"VRP expert ({vrp}) should beat greedy ({greedy})"
+
+
+# ---------------------------------------------------------------------------
+# PATH_CHEAPEST_ARC exact-construction mode (reference vrp_solver.py:115-134)
+# ---------------------------------------------------------------------------
+
+
+def _mat(n, default=50.0):
+    """Depot-augmented matrix skeleton: depot row 100000, depot column 0."""
+    tm = np.full((n, n), default)
+    np.fill_diagonal(tm, 0.0)
+    tm[0, :] = 100000.0
+    tm[:, 0] = 0.0
+    return tm
+
+
+def path_cheapest_arc_python(tm, n_vehicles, budget):
+    """Independent Python model of OR-Tools' PATH_CHEAPEST_ARC construction
+    (docs: extend each route from its last node with the cheapest feasible
+    arc, lowest node index on ties; vehicles sequentially; int64 costs;
+    route time capped at budget).  The differential oracle for the C++
+    mode."""
+    n = tm.shape[0]
+    routed = np.zeros(n, dtype=bool)
+    routed[0] = True
+    routes = []
+    for _v in range(n_vehicles):
+        route, used, last = [], 0, 0
+        while True:
+            best, best_node = None, -1
+            for node in range(1, n):
+                if routed[node]:
+                    continue
+                a = int(tm[last, node])
+                if used + a > budget:
+                    continue
+                if best is None or a < best:
+                    best, best_node = a, node
+            if best_node < 0:
+                break
+            route.append(best_node)
+            routed[best_node] = True
+            used += best
+            last = best_node
+        routes.append(route)
+    return routes
+
+
+def test_cheapest_arc_hand_verified_chain_and_tiebreak():
+    """1 vehicle: greedy chain 1->2->3->4, with the 1->2 vs 1->3 cost tie
+    resolved to the LOWER node index (OR-Tools sorts (value, node))."""
+    tm = _mat(5)
+    init = np.array([1], dtype=np.int32)
+    tm[0, 1] = 0.0
+    tm[1, 2] = 1.0
+    tm[1, 3] = 1.0  # tie with 1->2: node 2 must win
+    tm[2, 3] = 1.0
+    tm[2, 4] = 5.0
+    tm[3, 4] = 1.0
+    pen = np.array([0, 0, 500, 500, 500], dtype=float)
+    routes = solve_vrp_raw(tm, pen, init, max_route_time=10.0, mode="cheapest_arc")
+    assert routes == [[1, 2, 3, 4]]
+
+
+def test_cheapest_arc_hand_verified_two_clusters():
+    """2 vehicles, two clusters; cross-cluster arcs exceed the budget, so
+    each vehicle sweeps its own cluster."""
+    tm = _mat(7)
+    init = np.array([1, 4], dtype=np.int32)
+    tm[0, init] = 0.0
+    for a, b, c in [(1, 2, 1), (2, 3, 1), (1, 3, 2), (4, 5, 1), (5, 6, 1), (4, 6, 2)]:
+        tm[a, b] = tm[b, a] = c
+    pen = np.array([0, 500, 500, 500, 500, 500, 500], dtype=float)
+    routes = solve_vrp_raw(tm, pen, init, max_route_time=10.0, mode="cheapest_arc")
+    assert routes == [[1, 2, 3], [4, 5, 6]]
+
+
+def test_cheapest_arc_hand_verified_budget_drop():
+    """Node beyond the time budget is dropped despite its 500 penalty."""
+    tm = _mat(4)
+    init = np.array([1], dtype=np.int32)
+    tm[0, 1] = 0.0
+    tm[1, 2] = 2.0
+    tm[1, 3] = 20.0
+    tm[2, 3] = 20.0
+    pen = np.array([0, 0, 500, 500], dtype=float)
+    routes = solve_vrp_raw(tm, pen, init, max_route_time=5.0, mode="cheapest_arc")
+    assert routes == [[1, 2]]
+
+
+def test_cheapest_arc_sequential_vehicle_semantics():
+    """Vehicle 0 is extended to completion FIRST and may consume vehicle 1's
+    init location (OR-Tools builds routes sequentially; upstream this
+    surfaces as the AssertionError->reset path, test.py:53-59)."""
+    tm = _mat(4)
+    init = np.array([1, 3], dtype=np.int32)
+    tm[0, init] = 0.0
+    tm[1, 2] = 1.0
+    tm[2, 3] = 1.0
+    tm[1, 3] = 2.0
+    pen = np.array([0, 0, 500, 0], dtype=float)
+    routes = solve_vrp_raw(tm, pen, init, max_route_time=10.0, mode="cheapest_arc")
+    assert routes == [[1, 2, 3], []]
+
+
+@pytest.mark.parametrize("graph_seed", [21, 22, 23])
+@pytest.mark.parametrize("n_robots", [4, 6])
+def test_cheapest_arc_route_equality_on_real_graphs(graph_seed, n_robots):
+    """Differential route-equality: the C++ mode == the independent Python
+    PATH_CHEAPEST_ARC model on real coverage problems (3 graphs x 2 robot
+    counts), through the full create_vrp_problem formulation."""
+    from gym_flock_tpu.envs.coverage_graph import (
+        build_graph_spec, generate_coverage_targets,
+    )
+    from gym_flock_tpu.experts.coverage_vrp import create_vrp_problem
+
+    rng = np.random.RandomState(graph_seed)
+    while True:
+        targets = generate_coverage_targets(rng)
+        if 50 <= targets.shape[0] <= 494:
+            break
+    spec = build_graph_spec(targets, 494, n_robots, motion_radius=5.5 * 1.2,
+                            horizon=10)
+    n_t = spec.n_targets
+    robot_loc = rng.choice(n_t, size=n_robots, replace=False)
+    visited = np.ones(n_t)
+    visited[rng.choice(n_t, size=n_t // 2, replace=False)] = 0.0
+    visited[robot_loc] = 1.0
+
+    tm, pen, init = create_vrp_problem(
+        np.asarray(spec.graph_cost), visited, None, robot_loc, n_t
+    )
+    got = solve_vrp_raw(tm, pen, init, max_route_time=75.0, mode="cheapest_arc")
+    want = path_cheapest_arc_python(tm, n_robots, 75)
+    assert got == want
+    # sanity: routes start at init locations when non-empty
+    for r in got:
+        if r:
+            assert r[0] in set(init.tolist())
