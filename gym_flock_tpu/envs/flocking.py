@@ -45,6 +45,7 @@ __all__ = [
     "LargeFlockingEnv",
     "SparseFlockingEnv",
     "flocking_features",
+    "flocking_obs_expert_pass",
     "turner_controller",
 ]
 
@@ -247,6 +248,66 @@ def turner_controller(
     return controls / params.action_scalar
 
 
+def flocking_obs_expert_pass(
+    x: jax.Array,
+    params: FlockingParams,
+    centralized: bool = True,
+    obstacle_mask: jax.Array | None = None,
+):
+    """ONE pairwise pass producing everything the observation AND the Turner
+    expert need at state ``x``.
+
+    The unfused loop runs two O(N^2) passes per step — the expert at x_t
+    (reference flocking_relative.py:194-212) and the observation at x_{t+1}
+    (:111-134) — at DIFFERENT states, so XLA cannot CSE them.  Carrying this
+    pass's expert sums across a rollout scan (see
+    :meth:`FlockingRelativeEnv.expert_rollout`) serves step t's observation
+    and step t+1's expert from the same channels: one pass per step.
+
+    Returns ``(values [N,6], network [N,N], s_gx [N], s_gy [N], s_dvx [N],
+    s_dvy [N])`` where the last four are the expert's summed potential
+    gradients and velocity differences (adjacency-masked when
+    ``centralized=False``).  The arithmetic is the exact primitive sequence
+    of :func:`flocking_features` + :func:`turner_controller` (shared
+    channels CSE'd by XLA), so the fused rollout matches the unfused loop to
+    float rounding (XLA fusion may reassociate the reductions).
+    """
+    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask)
+    adj = radius_adjacency(r2, params.comm_radius2)
+    adj_mean = mean_pool_normalize(adj)
+
+    inv = 1.0 / r2
+    inv2 = inv * inv
+    values = jnp.stack(
+        (
+            jnp.sum(dvx * adj, axis=1),
+            jnp.sum(dx * inv2 * adj, axis=1),
+            jnp.sum(dx * inv * adj, axis=1),
+            jnp.sum(dvy * adj, axis=1),
+            jnp.sum(dy * inv2 * adj, axis=1),
+            jnp.sum(dy * inv * adj, axis=1),
+        ),
+        axis=1,
+    )
+    network = adj_mean if params.mean_pooling else adj
+
+    gx = turner_potential_grad(dx, r2, params.comm_radius)
+    gy = turner_potential_grad(dy, r2, params.comm_radius)
+    if not centralized:
+        gx = gx * adj
+        gy = gy * adj
+        dvx = dvx * adj
+        dvy = dvy * adj
+    return (
+        values,
+        network,
+        jnp.sum(gx, axis=1),
+        jnp.sum(gy, axis=1),
+        jnp.sum(dvx, axis=1),
+        jnp.sum(dvy, axis=1),
+    )
+
+
 def _instant_cost(x: jax.Array) -> jax.Array:
     """-sum of velocity variances (reference flocking_relative.py:145-147)."""
     v = x[:, 2:4]
@@ -406,6 +467,71 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
         return turner_controller(
             state.x, params, centralized, self._obstacle_mask(params)
         )
+
+    # ---------------------------------------------------- fused expert rollout
+
+    def _fused_pass(self, x: jax.Array, params: FlockingParams, centralized: bool):
+        """(values, network, s_gx, s_gy, s_dvx, s_dvy) at ``x`` — see
+        :func:`flocking_obs_expert_pass`.  Subclasses with their own kernels
+        (Large/Sparse) override."""
+        return flocking_obs_expert_pass(
+            x, params, centralized, self._obstacle_mask(params)
+        )
+
+    def expert_rollout(
+        self,
+        state: FlockingState,
+        params: FlockingParams,
+        n_steps: int,
+        centralized: bool | None = None,
+    ):
+        """Closed-loop Turner-expert rollout with the obs/expert pairwise
+        pass fused ACROSS steps.
+
+        The naive loop (``u = controller(state); step(u)``) runs two O(N^2)
+        passes per step at different states.  Here the pass at x_{t+1}
+        produced for step t's observation is carried forward and its expert
+        sums drive step t+1's action — ONE pairwise pass per step, halving
+        the dominant cost (reference semantics unchanged: the expert still
+        acts on the current state exactly as flocking_relative.py:194-212;
+        the trajectory matches the unfused loop to float rounding).
+
+        For the cell-list variant this also means ONE Hilbert sort + block
+        table per step instead of two (ROADMAP #15).
+
+        Returns ``(final_state, traj)`` with ``traj`` a dict of stacked
+        per-step arrays: ``u`` (the expert action taken at step t, i.e. the
+        imitation label for the obs returned by step t-1), ``values``,
+        ``network``, ``reward``.
+        """
+        if centralized is None:
+            centralized = params.centralized
+        scale = self._action_scale(params)
+        mask = self._integration_mask(params)
+
+        _, _, gx0, gy0, dvx0, dvy0 = self._fused_pass(state.x, params, centralized)
+
+        def body(carry, _):
+            x, s_gx, s_gy, s_dvx, s_dvy = carry
+            controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
+            u = jnp.clip(controls, -10.0, 10.0) / params.action_scalar
+            x1 = _integrate(x, u * scale, params.dt, mask)
+            values, network, s_gx1, s_gy1, s_dvx1, s_dvy1 = self._fused_pass(
+                x1, params, centralized
+            )
+            reward = _instant_cost(x1)
+            return (x1, s_gx1, s_gy1, s_dvx1, s_dvy1), {
+                "u": u,
+                "values": values,
+                "network": network,
+                "reward": reward,
+            }
+
+        (x_f, *_), traj = jax.lax.scan(
+            body, (state.x, gx0, gy0, dvx0, dvy0), None, length=n_steps
+        )
+        final = state.replace(x=x_f, time=state.time + n_steps)
+        return final, traj
 
     def potential(self, state: FlockingState, params: FlockingParams) -> jax.Array:
         """Total Turner potential (reference flocking_relative.py:228-232):
@@ -656,6 +782,22 @@ class LargeFlockingEnv(FlockingRelativeEnv):
 
     def observation_space(self, params: FlockingParams):
         return Box(-jnp.inf, jnp.inf, (params.n_agents, 6))
+
+    def _sums(self, x, params):
+        from gym_flock_tpu.ops.pallas_flocking import flocking_sums
+
+        return flocking_sums(x, params.comm_radius, params.comm_radius2)
+
+    def _fused_pass(self, x, params, centralized):
+        # flocking_sums already produces obs AND expert channels in one
+        # blockwise pass (0-5 features, 6-7 potential-grad sums, 8 degree);
+        # velocity-difference sums collapse to the closed form
+        assert centralized, "large/sparse fused rollout is centralized-only"
+        s = self._sums(x, params)
+        n = x.shape[0]
+        s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+        s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+        return s[..., 0:6], s[..., 8], s[..., 6], s[..., 7], s_dvx, s_dvy
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(n_agents=4096, max_steps=1000)

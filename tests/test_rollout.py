@@ -46,3 +46,63 @@ def test_autoreset_resets_time():
     d = np.asarray(traj.done)
     # episodes of length 3: done at t=2 and t=5 (0-indexed)
     assert d[2] and d[5] and not d[0] and not d[3]
+
+
+def test_expert_rollout_fused_matches_unfused_loop():
+    """expert_rollout (one pairwise pass per step) reproduces the unfused
+    controller+step_env loop (same primitive sequence; float-epsilon
+    differences only from XLA fusion/reassociation of the reductions)."""
+    import numpy as np
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=48)
+    state0, _ = env.reset_env(jax.random.key(4), params)
+
+    # unfused loop
+    state = state0
+    xs, us, rs = [], [], []
+    for _ in range(8):
+        u = env.controller(state, params)
+        state, _, r, _, _ = env.step_env(jax.random.key(0), state, u, params)
+        xs.append(np.asarray(state.x))
+        us.append(np.asarray(u))
+        rs.append(float(r))
+
+    final, traj = jax.jit(
+        lambda s: env.expert_rollout(s, params, n_steps=8)
+    )(state0)
+    np.testing.assert_allclose(np.asarray(final.x), xs[-1], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(traj["u"]), np.stack(us), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(traj["reward"]), np.asarray(rs), rtol=1e-3, atol=1e-4)
+    assert int(final.time) == int(state0.time) + 8
+
+
+def test_expert_rollout_decentralized_matches_unfused():
+    import numpy as np
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=32)
+    state0, _ = env.reset_env(jax.random.key(9), params)
+    state = state0
+    for _ in range(4):
+        u = env.controller(state, params, centralized=False)
+        state, _, _, _, _ = env.step_env(jax.random.key(0), state, u, params)
+    final, traj = env.expert_rollout(state0, params, n_steps=4, centralized=False)
+    np.testing.assert_allclose(np.asarray(final.x), np.asarray(state.x), rtol=2e-4, atol=1e-5)
+
+
+def test_expert_rollout_sparse_matches_dense_large():
+    """The sparse env's fused rollout (one Hilbert sort per step) tracks the
+    dense-kernel env from the same reset."""
+    import numpy as np
+
+    env_s, params = gft.make("FlockingSparse-v0", n_agents=256, max_reset_tries=4)
+    env_l, _ = gft.make("FlockingLarge-v0", n_agents=256, max_reset_tries=4)
+    state, _ = env_s.reset_env(jax.random.key(1), params)
+
+    fin_s, traj_s = env_s.expert_rollout(state, params, n_steps=5)
+    fin_l, traj_l = env_l.expert_rollout(state, params, n_steps=5)
+    np.testing.assert_allclose(
+        np.asarray(fin_s.x), np.asarray(fin_l.x), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_s["reward"]), np.asarray(traj_l["reward"]), rtol=1e-5
+    )
