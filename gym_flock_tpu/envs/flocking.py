@@ -783,21 +783,34 @@ class LargeFlockingEnv(FlockingRelativeEnv):
     def observation_space(self, params: FlockingParams):
         return Box(-jnp.inf, jnp.inf, (params.n_agents, 6))
 
-    def _sums(self, x, params):
-        from gym_flock_tpu.ops.pallas_flocking import flocking_sums
+    def _sums(self, x, params, channels: str = "core"):
+        from gym_flock_tpu.ops.pallas_flocking import (
+            flocking_sums,
+            flocking_sums_block,
+        )
 
-        return flocking_sums(x, params.comm_radius, params.comm_radius2)
+        if channels == "core":
+            return flocking_sums(x, params.comm_radius, params.comm_radius2)
+        # expert channels (10/11: adjacency-masked grad sums) live in the
+        # "full" set of the cross-block kernel
+        return flocking_sums_block(
+            x, x, 0, 0, params.comm_radius, params.comm_radius2,
+            interpret=jax.default_backend() == "cpu", channels="full",
+        )
 
     def _fused_pass(self, x, params, centralized):
         # flocking_sums already produces obs AND expert channels in one
         # blockwise pass (0-5 features, 6-7 potential-grad sums, 8 degree);
-        # velocity-difference sums collapse to the closed form
-        assert centralized, "large/sparse fused rollout is centralized-only"
-        s = self._sums(x, params)
+        # centralized velocity-difference sums collapse to the closed form,
+        # decentralized ones ARE feature channels 0/3
         n = x.shape[0]
-        s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
-        s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
-        return s[..., 0:6], s[..., 8], s[..., 6], s[..., 7], s_dvx, s_dvy
+        if centralized:
+            s = self._sums(x, params)
+            s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+            s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+            return s[..., 0:6], s[..., 8], s[..., 6], s[..., 7], s_dvx, s_dvy
+        s = self._sums(x, params, channels="expert")
+        return s[..., 0:6], s[..., 8], s[..., 10], s[..., 11], s[..., 0], s[..., 3]
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(n_agents=4096, max_steps=1000)
@@ -817,10 +830,12 @@ class SparseFlockingEnv(LargeFlockingEnv):
     the dense kernel for the batch — never wrong, only slower.
     """
 
-    def _sums(self, x, params):
+    def _sums(self, x, params, channels: str = "core"):
         from gym_flock_tpu.ops.sparse_flocking import flocking_sums_sparse
 
-        return flocking_sums_sparse(x, params.comm_radius, params.comm_radius2)
+        return flocking_sums_sparse(
+            x, params.comm_radius, params.comm_radius2, channels=channels
+        )
 
     def _reset_accept(self, x, params):
         # the inherited dense test would materialize O(N^2) pairwise
@@ -839,13 +854,20 @@ class SparseFlockingEnv(LargeFlockingEnv):
     def controller(self, state, params, centralized=None):
         if centralized is None:
             centralized = params.centralized
-        assert centralized, "sparse expert is centralized-only (channels 6/7)"
         x = state.x
-        s = self._sums(x, params)
-        n = x.shape[0]
-        s_gx, s_gy = s[..., 6], s[..., 7]
-        s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
-        s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+        if centralized:
+            s = self._sums(x, params)
+            n = x.shape[0]
+            s_gx, s_gy = s[..., 6], s[..., 7]
+            s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+            s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+        else:
+            # decentralized (reference flocking_relative.py:201-207): both
+            # terms adjacency-masked — channels 0/3 and the sparse expert
+            # channels 10/11
+            s = self._sums(x, params, channels="expert")
+            s_gx, s_gy = s[..., 10], s[..., 11]
+            s_dvx, s_dvy = s[..., 0], s[..., 3]
         controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
         return jnp.clip(controls, -10.0, 10.0) / params.action_scalar
 

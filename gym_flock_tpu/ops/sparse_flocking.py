@@ -153,9 +153,13 @@ def block_pair_table(xs: jax.Array, comm_radius, k_max: int):
     return packed.astype(jnp.int32), overflow
 
 
-def _block_sums_tile(xr, xc, row_off, col_off, comm_radius, comm_radius2):
+def _block_sums_tile(xr, xc, row_off, col_off, comm_radius, comm_radius2,
+                     expert=False):
     """Core-channel sums of one [BLOCK, BLOCK] tile (XLA; mirrors
-    ops.pallas_flocking._block_sums_kernel channels 0..8)."""
+    ops.pallas_flocking._block_sums_kernel channels 0..8).  ``expert`` adds
+    the adjacency-masked gradient sums at channels 10/11 (decentralized
+    Turner expert; channel 9 — min-r2 — is not part of the sparse contract
+    and stays zero)."""
     row_ids = row_off + jnp.arange(BLOCK)
     col_ids = col_off + jnp.arange(BLOCK)
     dx = xr[:, 0, None] - xc[None, :, 0]
@@ -179,12 +183,22 @@ def _block_sums_tile(xr, xc, row_off, col_off, comm_radius, comm_radius2):
             jnp.sum(dx * gfac, axis=1),
             jnp.sum(dy * gfac, axis=1),
             jnp.sum(adj, axis=1),
-        ],
+        ]
+        + (
+            [
+                jnp.zeros((BLOCK,), xr.dtype),  # ch9 slot (no min-r2)
+                jnp.sum(dx * gfac * adj, axis=1),
+                jnp.sum(dy * gfac * adj, axis=1),
+            ]
+            if expert
+            else []
+        ),
         axis=1,
-    )  # [BLOCK, 9]
+    )  # [BLOCK, 9 or 12]
 
 
-def _sparse_sums_sorted(xs: jax.Array, table: jax.Array, comm_radius, comm_radius2):
+def _sparse_sums_sorted(xs: jax.Array, table: jax.Array, comm_radius, comm_radius2,
+                        expert=False):
     """Channel sums over the listed block pairs only (sorted order).
 
     ``xs`` [N, 4] curve-sorted (see hilbert_order), ``table`` [n_b, k_max].
@@ -205,22 +219,25 @@ def _sparse_sums_sorted(xs: jax.Array, table: jax.Array, comm_radius, comm_radiu
                 xs, (jc * BLOCK, jnp.zeros((), jc.dtype)), (BLOCK, 4)
             )
             t = _block_sums_tile(
-                row, xc, i * BLOCK, jc * BLOCK, comm_radius, comm_radius2
+                row, xc, i * BLOCK, jc * BLOCK, comm_radius, comm_radius2,
+                expert=expert,
             )
             return acc + jnp.where(valid, t, 0.0), None
 
-        acc0 = jnp.zeros((BLOCK, 9), xs.dtype)
+        nc = 12 if expert else 9
+        acc0 = jnp.zeros((BLOCK, nc), xs.dtype)
         acc, _ = jax.lax.scan(body, acc0, table[i])
         return acc
 
-    out = jax.vmap(one_row)(jnp.arange(n_b), xb)  # [n_b, BLOCK, 9]
-    out = out.reshape(n, 9)
-    return jnp.concatenate([out, jnp.zeros((n, N_OUT - 9), xs.dtype)], axis=1)
+    out = jax.vmap(one_row)(jnp.arange(n_b), xb)  # [n_b, BLOCK, nc]
+    nc = out.shape[-1]
+    out = out.reshape(n, nc)
+    return jnp.concatenate([out, jnp.zeros((n, N_OUT - nc), xs.dtype)], axis=1)
 
 
 def _sparse_kernel(
     scal, table, valid, px_c, py_c, vx_c, vy_c, px_r, py_r, vx_r, vy_r, out_ref,
-    *, bi, k_max
+    *, bi, k_max, expert
 ):
     # grid = (B, n_b, k_max); the column block for slot (b, i, k) was DMA'd
     # by the BlockSpec index map reading table[b, i, k] (scalar prefetch)
@@ -260,15 +277,24 @@ def _sparse_kernel(
                 jnp.sum(dx * gfac, axis=1),
                 jnp.sum(dy * gfac, axis=1),
                 jnp.sum(adj, axis=1),
-            ],
+            ]
+            + (
+                [
+                    jnp.zeros((bi,), dx.dtype),  # ch9 slot (no min-r2)
+                    jnp.sum(dx * gfac * adj, axis=1),
+                    jnp.sum(dy * gfac * adj, axis=1),
+                ]
+                if expert
+                else []
+            ),
             axis=1,
         )
-        pad = jnp.zeros((bi, N_OUT - 9), dx.dtype)
+        pad = jnp.zeros((bi, N_OUT - sums.shape[1]), dx.dtype)
         out_ref[:] = out_ref[:] + jnp.concatenate([sums, pad], axis=1)[None]
 
 
 def _sparse_sums_pallas(xs: jax.Array, table: jax.Array, comm_radius, comm_radius2,
-                        interpret: bool = False):
+                        interpret: bool = False, expert: bool = False):
     """Table-driven Pallas pass: one grid step per listed block pair.
 
     The candidate table is a scalar-prefetch operand, so the column-block
@@ -304,7 +330,7 @@ def _sparse_sums_pallas(xs: jax.Array, table: jax.Array, comm_radius, comm_radiu
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_sparse_kernel, bi=BLOCK, k_max=k_max),
+        functools.partial(_sparse_kernel, bi=BLOCK, k_max=k_max, expert=expert),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, N_OUT), dtype),
         interpret=interpret,
@@ -319,8 +345,11 @@ def _flocking_sums_sparse_impl(
     k_max: int = 16,
     interpret: bool = False,
     impl: str = "auto",
+    channels: str = "core",
 ):
-    from gym_flock_tpu.ops.pallas_flocking import flocking_sums
+    from gym_flock_tpu.ops.pallas_flocking import flocking_sums, flocking_sums_block
+
+    expert = channels == "expert"
 
     squeeze = x.ndim == 2
     xb = x[None] if squeeze else x
@@ -342,12 +371,13 @@ def _flocking_sums_sparse_impl(
         xs_, perm_, table_ = operands
         if impl == "pallas":
             out_sorted = _sparse_sums_pallas(
-                xs_, table_, comm_radius, comm_radius2, interpret=interpret
+                xs_, table_, comm_radius, comm_radius2, interpret=interpret,
+                expert=expert,
             )
         else:
             out_sorted = jax.vmap(
                 lambda xsi, tablei: _sparse_sums_sorted(
-                    xsi, tablei, comm_radius, comm_radius2
+                    xsi, tablei, comm_radius, comm_radius2, expert=expert
                 )
             )(xs_, table_)
 
@@ -362,6 +392,15 @@ def _flocking_sums_sparse_impl(
         return jax.vmap(unsort)(perm_, out_sorted)
 
     def dense_path(operands):
+        if expert:
+            # "full" includes the masked-grad channels 10/11; ch9 (min-r2)
+            # is zeroed — it is not part of the sparse contract
+            out = flocking_sums_block(
+                xb, xb, 0, 0, comm_radius, comm_radius2,
+                interpret=interpret or jax.default_backend() == "cpu",
+                channels="full",
+            )
+            return out.at[..., 9].set(0.0)
         return flocking_sums(xb, comm_radius, comm_radius2, interpret=interpret)
 
     # the predicate is a batch-wide SCALAR: under vmap a per-env cond
@@ -372,12 +411,12 @@ def _flocking_sums_sparse_impl(
     return out[0] if squeeze else out
 
 
-def _make_sparse_vmappable(k_max, interpret, impl):
+def _make_sparse_vmappable(k_max, interpret, impl, channels):
+    kw = dict(k_max=k_max, interpret=interpret, impl=impl, channels=channels)
+
     @jax.custom_batching.custom_vmap
     def f(x, scal):
-        return _flocking_sums_sparse_impl(
-            x, scal[0], scal[1], k_max=k_max, interpret=interpret, impl=impl
-        )
+        return _flocking_sums_sparse_impl(x, scal[0], scal[1], **kw)
 
     @f.def_vmap
     def rule(axis_size, in_batched, x, scal):
@@ -388,21 +427,14 @@ def _make_sparse_vmappable(k_max, interpret, impl):
         x_b, scal_b = in_batched
         assert not scal_b, "vmap over radii unsupported; close over them instead"
         if x.ndim == 2 or not x_b:
-            out = _flocking_sums_sparse_impl(
-                x, scal[0], scal[1], k_max=k_max, interpret=interpret, impl=impl
-            )
-            return out, False
+            return _flocking_sums_sparse_impl(x, scal[0], scal[1], **kw), False
         if x.ndim > 3:
             lead = x.shape[:-2]
             out = _flocking_sums_sparse_impl(
-                x.reshape((-1,) + x.shape[-2:]), scal[0], scal[1],
-                k_max=k_max, interpret=interpret, impl=impl,
+                x.reshape((-1,) + x.shape[-2:]), scal[0], scal[1], **kw
             )
             return out.reshape(lead + out.shape[1:]), True
-        out = _flocking_sums_sparse_impl(
-            x, scal[0], scal[1], k_max=k_max, interpret=interpret, impl=impl
-        )
-        return out, True
+        return _flocking_sums_sparse_impl(x, scal[0], scal[1], **kw), True
 
     return f
 
@@ -410,14 +442,16 @@ def _make_sparse_vmappable(k_max, interpret, impl):
 _SPARSE_VMAPPABLE_CACHE = {}
 
 
-def _sparse_vmappable_for(k_max, interpret, impl):
-    key = (k_max, interpret, impl)
+def _sparse_vmappable_for(k_max, interpret, impl, channels):
+    key = (k_max, interpret, impl, channels)
     if key not in _SPARSE_VMAPPABLE_CACHE:
         _SPARSE_VMAPPABLE_CACHE[key] = _make_sparse_vmappable(*key)
     return _SPARSE_VMAPPABLE_CACHE[key]
 
 
-@functools.partial(jax.jit, static_argnames=("k_max", "interpret", "impl"))
+@functools.partial(
+    jax.jit, static_argnames=("k_max", "interpret", "impl", "channels")
+)
 def flocking_sums_sparse(
     x: jax.Array,
     comm_radius,
@@ -425,6 +459,7 @@ def flocking_sums_sparse(
     k_max: int = 16,
     interpret: bool = False,
     impl: str = "auto",
+    channels: str = "core",
 ):
     """Block-sparse :func:`ops.pallas_flocking.flocking_sums` (core channels).
 
@@ -440,7 +475,7 @@ def flocking_sums_sparse(
     would select-execute both passes).
     """
     scal = jnp.asarray([comm_radius, comm_radius2], jnp.result_type(x.dtype))
-    return _sparse_vmappable_for(k_max, interpret, impl)(x, scal)
+    return _sparse_vmappable_for(k_max, interpret, impl, channels)(x, scal)
 
 
 # =============================================================================

@@ -208,3 +208,38 @@ def test_sparse_adjacency_matmul_vmap_routes_to_native_batch():
         )
     )(hs)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sparse_decentralized_expert_matches_dense():
+    """FlockingSparse centralized=False: the adjacency-masked expert
+    channels (10/11) reproduce the dense decentralized Turner controller."""
+    import gym_flock_tpu as gft
+    from gym_flock_tpu.envs.flocking import turner_controller
+
+    env, params = gft.make("FlockingSparse-v0", n_agents=256, max_reset_tries=4)
+    state, _ = env.reset_env(jax.random.key(3), params)
+
+    want = turner_controller(state.x, params, centralized=False)
+    got = env.controller(state, params, centralized=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # fused rollout runs decentralized too and tracks the dense env
+    env_l, _ = gft.make("FlockingLarge-v0", n_agents=256, max_reset_tries=4)
+    fin_s, _ = env.expert_rollout(state, params, n_steps=3, centralized=False)
+    fin_l, _ = env_l.expert_rollout(state, params, n_steps=3, centralized=False)
+    np.testing.assert_allclose(
+        np.asarray(fin_s.x), np.asarray(fin_l.x), atol=1e-4
+    )
+
+
+def test_sparse_expert_channels_match_dense_full():
+    """channels="expert" sums 10/11 == the dense full-channel kernel."""
+    from gym_flock_tpu.ops.pallas_flocking import flocking_sums_block
+
+    x = _swarm(jax.random.key(31), 512, 8.0)
+    want = flocking_sums_block(x, x, 0, 0, CR, CR2, interpret=True,
+                               channels="full")
+    got = flocking_sums_sparse(x, CR, CR2, channels="expert")
+    scale = 1.0 + jnp.abs(want)
+    for ch in (10, 11):
+        assert float(jnp.max(jnp.abs(got[:, ch] - want[:, ch]) / scale[:, ch])) < 1e-4
