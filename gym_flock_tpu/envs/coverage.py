@@ -141,9 +141,15 @@ def _safe_gather(vec: jax.Array, idx: jax.Array, fill=0.0) -> jax.Array:
 
 def _mm_expert_active(params) -> bool:
     """Static predicate: the MXU greedy-expert path is in use (see
-    :func:`_greedy_cost_rows`)."""
+    :func:`_greedy_cost_rows`).  Engages for any bank size whose flattened
+    one-hot width G*T stays MXU-reasonable; at R < 16 the one-hot staging
+    overhead beats the gather's duplication win."""
     mm = params.bank.get("graph_cost_mm")
-    return mm is not None and mm.shape[0] == 1 and params.n_robots >= 16
+    return (
+        mm is not None
+        and params.n_robots >= 16
+        and mm.shape[0] * mm.shape[1] <= 8192
+    )
 
 
 def _greedy_cost_rows(params, g, cur: jax.Array) -> jax.Array:
@@ -151,24 +157,36 @@ def _greedy_cost_rows(params, g, cur: jax.Array) -> jax.Array:
 
     TPU routing: the XLA row gather runs at <10% of HBM bandwidth here, and
     a large-R batch gathers the same T distinct rows over and over (36x
-    duplication at R=100, B=512).  With a single-graph bank the duplicated
-    gather becomes a one-hot matmul on the MXU: out[r, t] =
-    sum_k onehot[r, k] * C[k, t] has exactly ONE nonzero term per output
-    element, so it is exact (no accumulation error) provided each finite
-    cost is bf16-representable — guaranteed when the bank carries
-    ``graph_cost_mm`` (integer hop counts <= 256; unreachable stored as
-    1024, which still satisfies the ``>= MAX_COST`` test — see
-    coverage_graph._mm_cost_copy).  Measured 1.7x on the ExploreFull-100
-    controller phase.  Multi-graph banks keep the gather: a per-env graph
-    index would stage a gathered [B, T, T] matmul operand.
+    duplication at R=100, B=512).  The duplicated gather becomes a one-hot
+    matmul on the MXU: out[r, t] = sum_k onehot[r, k] * C[k, t] has exactly
+    ONE nonzero term per output element, so it is exact (no accumulation
+    error) provided each finite cost is bf16-representable — guaranteed
+    when the bank carries ``graph_cost_mm`` (integer hop counts <= 256;
+    unreachable stored as 1024, which still satisfies the ``>= MAX_COST``
+    test — see coverage_graph._mm_cost_copy).  Measured 1.7x on the
+    ExploreFull-100 controller phase.
+
+    Multi-graph banks flatten to one [G*T, T] operand indexed by
+    ``g*T + cur`` — still exactly one nonzero per one-hot row, so exactness
+    is unchanged; the operand is batch-invariant (stays resident across the
+    vmapped env batch) at G x the FLOPs.  Gated by ``_mm_expert_active``'s
+    G*T width bound.
     """
     bank = params.bank
     if _mm_expert_active(params):
-        mm = bank["graph_cost_mm"]
-        onehot = jax.nn.one_hot(cur, mm.shape[1], dtype=jnp.bfloat16)
+        mm = bank["graph_cost_mm"]  # [G, T, T] bf16
+        G, T = mm.shape[0], mm.shape[1]
+        if G == 1:
+            onehot = jax.nn.one_hot(cur, T, dtype=jnp.bfloat16)
+            operand = mm[0]
+        else:
+            onehot = jax.nn.one_hot(
+                g.astype(jnp.int32) * T + cur, G * T, dtype=jnp.bfloat16
+            )
+            operand = mm.reshape(G * T, T)
         return jax.lax.dot_general(
             onehot,
-            mm[0],
+            operand,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -66,9 +66,16 @@ class FlockingRenderer(_Base):
 
 
 class CoverageRenderer(_Base):
-    def __init__(self, env, params):
+    """Coverage-family renderer (reference coverage.py:434-508): motion
+    edges in blue, robots green, unvisited targets red, visited blue,
+    frontier nodes as white dots (hide_nodes mode), and — when ``horizon``
+    is set — robot 0's graph-cost neighborhood as yellow dots (reference
+    line4, coverage.py:498-503)."""
+
+    def __init__(self, env, params, horizon: int = -1):
         super().__init__()
         self.params = params
+        self.horizon = horizon
         self._graph = None
 
     def draw(self, state):
@@ -98,6 +105,7 @@ class CoverageRenderer(_Base):
                 )
             (self.l_unvis,) = self.ax.plot([], [], "ro", markersize=10)
             (self.l_vis,) = self.ax.plot([], [], "bo", markersize=5)
+            (self.l_horizon,) = self.ax.plot([], [], "y.")
             (self.l_front,) = self.ax.plot([], [], "w.")
             (self.l_robot,) = self.ax.plot([], [], "go", markersize=15, linewidth=0)
 
@@ -111,6 +119,25 @@ class CoverageRenderer(_Base):
         self.l_unvis.set_data(pos[unvis, 0], pos[unvis, 1])
         self.l_vis.set_data(pos[vis, 0], pos[vis, 1])
         self.l_robot.set_data(robot_pos[:, 0], robot_pos[:, 1])
+
+        if p.hide_nodes:
+            # frontier overlay (reference line5, coverage.py:487-489):
+            # discovered receivers of motion edges whose sender is still
+            # undiscovered
+            valid = senders >= 0
+            s_t = senders[valid] - p.n_robots
+            r_t = receivers[valid] - p.n_robots
+            frontier = np.zeros(pos.shape[0], dtype=bool)
+            edge_front = (~discovered[s_t]) & discovered[r_t]
+            np.logical_or.at(frontier, r_t, edge_front)
+            frontier &= mask
+            self.l_front.set_data(pos[frontier, 0], pos[frontier, 1])
+
+        if self.horizon > -1:
+            # robot 0's graph-cost neighborhood (reference coverage.py:498-503)
+            cost_row = np.asarray(bank["graph_cost"][g][np.asarray(state.robot_loc)[0]])
+            nb = (cost_row <= self.horizon) & mask
+            self.l_horizon.set_data(pos[nb, 0], pos[nb, 1])
         self._text.set_text(str(int(np.asarray(state.episode_reward))))
         self._flush()
 

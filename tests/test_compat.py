@@ -209,3 +209,47 @@ def test_speculation_survives_user_mutation_of_action():
     ob, rb, _, _ = b.step(np.full_like(u, 0.125))
     _flat_eq(oa, ob)
     assert ra == rb
+
+
+def test_coverage_renderer_overlay_artists(tmp_path):
+    """The frontier (hide_nodes) and horizon-neighborhood overlays exist
+    and update without error (reference coverage.py:434-508 line4/line5)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import jax
+    import numpy as np
+
+    import gym_flock_tpu as gft
+    from gym_flock_tpu.render.plot import CoverageRenderer
+
+    env, params = gft.make("ExploreEnv-v0", n_graphs=1)
+    state, _ = env.reset_env(jax.random.key(0), params)
+    r = CoverageRenderer(env, params, horizon=5)
+    r.draw(state)
+    assert r.l_front is not None and r.l_horizon is not None
+    # horizon overlay populated (robot 0's neighborhood is non-empty: it
+    # contains at least its own node at cost 0)
+    assert len(r.l_horizon.get_xdata()) >= 1
+    u = env.controller(state, params, key=jax.random.key(1), greedy=True)
+    state, _, _, _, _ = env.step_env(jax.random.key(2), state, u, params)
+    r.draw(state)
+    # frontier overlay is a valid artist with finite data
+    assert np.all(np.isfinite(np.asarray(r.l_front.get_xdata(), dtype=float)))
+    r.close()
+
+
+def test_run_shepherding_example_smoke():
+    """examples/run_shepherding.py (reference shepherding/test.py mirror)
+    runs an episode loop end to end."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).parent.parent / "examples" / "run_shepherding.py"
+    out = subprocess.run(
+        [sys.executable, str(script), "--cpu", "-N", "1", "--steps", "3"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip()  # printed an episode reward

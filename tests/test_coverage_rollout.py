@@ -204,3 +204,32 @@ def test_mxu_greedy_expert_matches_gather_path(hide_nodes):
             np.asarray(state_a.robot_loc), np.asarray(state_b.robot_loc)
         )
         assert float(r_a) == float(r_b)
+
+
+def test_multi_graph_mm_expert_matches_gather():
+    """The multi-graph MXU one-hot cost-row path (flattened [G*T, T]
+    operand indexed by g*T+cur) produces IDENTICAL greedy actions to the
+    plain row gather, for every graph in the bank."""
+    env, params = gft.make("Coverage-v0", n_graphs=4, n_robots=16)
+    from gym_flock_tpu.envs.coverage import _mm_expert_active
+
+    assert _mm_expert_active(params), "mm path should engage at R=16, G=4"
+    bank_nomm = {k: v for k, v in params.bank.items() if k != "graph_cost_mm"}
+    params_nomm = params.replace(bank=bank_nomm)
+    assert not _mm_expert_active(params_nomm)
+
+    for g in range(4):
+        key = jax.random.key(100 + g)
+        state, _ = env.reset_env(key, params)
+        state = state.replace(graph=jnp.int32(g))
+        # re-derive a valid robot placement for this graph
+        n_t = int(params.bank["n_targets"][g])
+        state = state.replace(
+            robot_loc=(jnp.arange(16, dtype=jnp.int32) * 3) % n_t
+        )
+        for t in range(3):
+            kt = jax.random.key(t)
+            u_mm = env.controller(state, params, key=kt, greedy=True)
+            u_gather = env.controller(state, params_nomm, key=kt, greedy=True)
+            np.testing.assert_array_equal(np.asarray(u_mm), np.asarray(u_gather))
+            state, _, _, _, _ = env.step_env(kt, state, u_mm, params)
