@@ -44,7 +44,7 @@ BASELINE_EXPLOREFULL = 10.4
 BASELINE_AGENT_STEPS = BASELINE_FLOCKING * 100  # agent-steps/s at N=100
 
 
-def emit(metric, value, unit, baseline):
+def emit(metric, value, unit, baseline, **extra):
     print(
         json.dumps(
             {
@@ -52,6 +52,7 @@ def emit(metric, value, unit, baseline):
                 "value": round(value, 1),
                 "unit": unit,
                 "vs_baseline": round(value / baseline, 2),
+                **extra,
             }
         ),
         flush=True,
@@ -115,7 +116,7 @@ def bench_flocking_fused(n_envs=8192, n_steps=64, n_agents=100):
     return n_envs * n_steps / best
 
 
-def bench_coverage(B=4096, T=32):
+def bench_coverage(B=8192, T=64):
     env, params = gft.make("Coverage-v0", n_graphs=4)
 
     @jax.jit
@@ -141,7 +142,7 @@ def bench_coverage(B=4096, T=32):
     return B * T / best
 
 
-def bench_explore_full(B=256, T=32):
+def bench_explore_full(B=512, T=32):
     env, params = gft.make("ExploreFullEnv-v0")
 
     @jax.jit
@@ -206,6 +207,15 @@ def main():
         emit(
             "env-steps/s (FlockingRelative, 100 agents, fused expert+step+obs)",
             results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
+            # MFU-style utilization: the fused rollout runs ONE pairwise
+            # pass per step (the floor — obs and expert share it), so
+            # pair-rate = steps/s * N^2; the ~47 Gpair/s denominator is the
+            # VPU division-throughput roofline of this pass measured via
+            # kernel sweeps (ROADMAP #2/#14)
+            gpair_per_s=round(results["flocking_fused"] * 100 * 100 / 1e9, 1),
+            roofline_frac=round(
+                results["flocking_fused"] * 100 * 100 / 1e9 / 47.0, 2
+            ),
         )
     except Exception as e:  # pragma: no cover
         print(f"# flocking_fused failed: {e!r}", flush=True)
@@ -247,6 +257,10 @@ def main():
         emit(
             "env-steps/s (FlockingRelative, 100 agents, fused expert+step+obs)",
             results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
+            gpair_per_s=round(results["flocking_fused"] * 100 * 100 / 1e9, 1),
+            roofline_frac=round(
+                results["flocking_fused"] * 100 * 100 / 1e9 / 47.0, 2
+            ),
         )
 
 

@@ -484,6 +484,7 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
         params: FlockingParams,
         n_steps: int,
         centralized: bool | None = None,
+        key: jax.Array | None = None,
     ):
         """Closed-loop Turner-expert rollout with the obs/expert pairwise
         pass fused ACROSS steps.
@@ -502,20 +503,27 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
         Returns ``(final_state, traj)`` with ``traj`` a dict of stacked
         per-step arrays: ``u`` (the expert action taken at step t, i.e. the
         imitation label for the obs returned by step t-1), ``values``,
-        ``network``, ``reward``.
+        ``network``, ``reward``.  ``key`` feeds variants with stochastic
+        dynamics (FlockingStochastic's per-step dt); deterministic variants
+        ignore it.
+
+        Note: the traj ``values``/``network`` fields are the relative-
+        feature observation — for :class:`FlockingAbsoluteEnv` (whose
+        observation is the top-k neighbor table) collect through
+        ``parallel.batch_rollout`` instead.
         """
         if centralized is None:
             centralized = params.centralized
-        scale = self._action_scale(params)
-        mask = self._integration_mask(params)
+        if key is None:
+            key = jax.random.key(0)
 
         _, _, gx0, gy0, dvx0, dvy0 = self._fused_pass(state.x, params, centralized)
 
-        def body(carry, _):
+        def body(carry, key_t):
             x, s_gx, s_gy, s_dvx, s_dvy = carry
             controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
-            u = jnp.clip(controls, -10.0, 10.0) / params.action_scalar
-            x1 = _integrate(x, u * scale, params.dt, mask)
+            u = self._rollout_action(controls, params)
+            x1 = self._rollout_integrate(x, u, params, key_t)
             values, network, s_gx1, s_gy1, s_dvx1, s_dvy1 = self._fused_pass(
                 x1, params, centralized
             )
@@ -528,10 +536,21 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
             }
 
         (x_f, *_), traj = jax.lax.scan(
-            body, (state.x, gx0, gy0, dvx0, dvy0), None, length=n_steps
+            body, (state.x, gx0, gy0, dvx0, dvy0), jax.random.split(key, n_steps)
         )
         final = state.replace(x=x_f, time=state.time + n_steps)
         return final, traj
+
+    def _rollout_action(self, controls, params: FlockingParams):
+        """Raw expert sums -> action (reference flocking_relative.py:208-211)."""
+        return jnp.clip(controls, -10.0, 10.0) / params.action_scalar
+
+    def _rollout_integrate(self, x, u, params: FlockingParams, key):
+        """One dynamics step inside the fused rollout (variants override)."""
+        return _integrate(
+            x, u * self._action_scale(params), params.dt,
+            self._integration_mask(params),
+        )
 
     def potential(self, state: FlockingState, params: FlockingParams) -> jax.Array:
         """Total Turner potential (reference flocking_relative.py:228-232):
@@ -705,6 +724,17 @@ class FlockingStochasticEnv(FlockingRelativeEnv):
     def controller(self, state, params, centralized=None):
         u = turner_controller(state.x, params, centralized)
         return jnp.clip(u, -params.stoch_max_accel, params.stoch_max_accel)
+
+    def _rollout_action(self, controls, params):
+        u = jnp.clip(controls, -10.0, 10.0) / params.action_scalar
+        return jnp.clip(u, -params.stoch_max_accel, params.stoch_max_accel)
+
+    def _rollout_integrate(self, x, u, params, key):
+        # step_with_dt semantics with dt drawn per step from the rollout key
+        dt = params.dt_mean + params.dt_sigma * jax.random.normal(key, ())
+        u = jnp.clip(u, -params.stoch_max_accel, params.stoch_max_accel)
+        x = _integrate(x * params.stoch_scale, u * params.stoch_scale, dt)
+        return x / params.stoch_scale
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(max_steps=500)

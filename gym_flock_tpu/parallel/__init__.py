@@ -1,5 +1,6 @@
 from gym_flock_tpu.parallel.rollout import (
     rollout,
+    batch_expert_rollout,
     batch_rollout,
     sharded_rollout,
     make_env_mesh,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from gym_flock_tpu.core.env import Env, EnvTransition, step_autoreset
 
-__all__ = ["rollout", "batch_rollout", "sharded_rollout", "make_env_mesh"]
+__all__ = ["rollout", "batch_rollout", "batch_expert_rollout", "sharded_rollout", "make_env_mesh"]
 
 
 def _resolve_policy(env: Env, policy):
@@ -123,6 +123,52 @@ def batch_rollout(
         keep_obs=keep_obs,
     )
     return jax.vmap(fn)(keys)
+
+
+def batch_expert_rollout(
+    env,
+    params,
+    key: jax.Array,
+    n_envs: int,
+    n_steps: int,
+    centralized: Optional[bool] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+):
+    """Batched FUSED expert rollout: one pairwise pass per env step.
+
+    The throughput path for expert data generation on the flocking family —
+    ``env.expert_rollout`` (obs pass carried into the next expert call,
+    halving the dominant O(N^2) cost; bench.py's flagship metric) vmapped
+    over ``n_envs`` fresh resets.  With ``mesh`` the env batch shards over
+    its first axis via ``shard_map`` (envs are communication-free, so this
+    scales linearly across chips).
+
+    Returns ``(final_states, traj)`` with ``traj`` a dict of stacked
+    per-step arrays ``u / values / network / reward`` of shape
+    ``[n_envs, n_steps, ...]`` — (obs_t, u_t) pairs ready as imitation
+    data (u_t is the expert label for the obs produced at step t-1).
+    """
+
+    def one(key):
+        k_reset, _ = jax.random.split(key)
+        state, _ = env.reset_env(k_reset, params)
+        return env.expert_rollout(state, params, n_steps, centralized=centralized)
+
+    keys = jax.random.split(key, n_envs)
+    if mesh is None:
+        return jax.vmap(one)(keys)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    assert n_envs % mesh.devices.size == 0
+
+    def local(keys):
+        return jax.vmap(one)(keys)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis), out_specs=P(axis)
+    )(keys)
 
 
 def make_env_mesh(axis_name: str = "env", devices=None) -> jax.sharding.Mesh:

@@ -106,3 +106,60 @@ def test_expert_rollout_sparse_matches_dense_large():
     np.testing.assert_allclose(
         np.asarray(traj_s["reward"]), np.asarray(traj_l["reward"]), rtol=1e-5
     )
+
+
+def test_batch_expert_rollout_matches_per_env():
+    """Public fused batch API == per-env expert_rollout from the same keys,
+    and the sharded form == the vmapped form."""
+    import numpy as np
+
+    from gym_flock_tpu.parallel import batch_expert_rollout, make_env_mesh
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=16)
+    key = jax.random.key(7)
+    finals, traj = batch_expert_rollout(env, params, key, n_envs=8, n_steps=4)
+    assert traj["u"].shape == (8, 4, 16, 2)
+    assert traj["network"].shape == (8, 4, 16, 16)
+
+    keys = jax.random.split(key, 8)
+    k0, _ = jax.random.split(keys[2])
+    s0, _ = env.reset_env(k0, params)
+    fin, tr = env.expert_rollout(s0, params, 4)
+    np.testing.assert_allclose(
+        np.asarray(traj["u"][2]), np.asarray(tr["u"]), atol=1e-6
+    )
+
+    mesh = make_env_mesh("env")
+    finals_s, traj_s = batch_expert_rollout(
+        env, params, key, n_envs=8, n_steps=4, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_s["reward"]), np.asarray(traj["reward"]), atol=1e-6
+    )
+
+
+def test_expert_rollout_stochastic_variant_semantics():
+    """FlockingStochastic's fused rollout applies its own step semantics
+    (action clip, x6 scaling, per-step dt): with sigma=0 it equals the
+    unfused step_with_dt loop exactly."""
+    import numpy as np
+
+    env, params = gft.make("FlockingStochastic-v0", n_agents=24)
+    p0 = params.replace(dt_sigma=0.0)
+    state0, _ = env.reset_env(jax.random.key(2), p0)
+
+    state = state0
+    for _ in range(5):
+        u = env.controller(state, p0)
+        state, _, _, _, _ = env.step_with_dt(state, u, p0.dt_mean, p0)
+
+    final, traj = env.expert_rollout(state0, p0, n_steps=5)
+    np.testing.assert_allclose(
+        np.asarray(final.x), np.asarray(state.x), rtol=2e-4, atol=1e-5
+    )
+
+    # nonzero sigma: trajectories stay finite and differ across keys
+    f1, _ = env.expert_rollout(state0, params, 5, key=jax.random.key(1))
+    f2, _ = env.expert_rollout(state0, params, 5, key=jax.random.key(2))
+    assert np.all(np.isfinite(np.asarray(f1.x)))
+    assert not np.allclose(np.asarray(f1.x), np.asarray(f2.x))
