@@ -17,7 +17,10 @@ from gym_flock_tpu.parallel.distributed import (
     global_env_mesh,
     host_fold,
 )
-from gym_flock_tpu.parallel.train_coverage import CoverageImitationTrainer
+from gym_flock_tpu.parallel.train_coverage import (
+    CoverageDaggerTrainer,
+    CoverageImitationTrainer,
+)
 from gym_flock_tpu.parallel.dagger import DaggerTrainer, DaggerState
 from gym_flock_tpu.parallel.agent_shard import (
     make_flock_mesh,

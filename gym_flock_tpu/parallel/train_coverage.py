@@ -26,7 +26,12 @@ import optax
 from gym_flock_tpu.envs.coverage import CoverageEnv, CoverageParams
 from gym_flock_tpu.models.gnn import EdgeGraphNet
 
-__all__ = ["CoverageImitationTrainer", "collect_coverage_batch", "action_edge_logits"]
+__all__ = [
+    "CoverageImitationTrainer",
+    "CoverageDaggerTrainer",
+    "collect_coverage_batch",
+    "action_edge_logits",
+]
 
 
 def action_edge_logits(edge_logits: jax.Array, params: CoverageParams) -> jax.Array:
@@ -278,3 +283,152 @@ def make_sharded_train_step(trainer: CoverageImitationTrainer, mesh=None,
         return trainer.loss_fn(params, batch)
 
     return make_dp_train_step(trainer.tx, local_loss, mesh=mesh)
+
+
+class CoverageDaggerTrainer:
+    """DAGGER for the coverage policy — dataset aggregation on device.
+
+    The coverage analog of :class:`gym_flock_tpu.parallel.dagger.DaggerTrainer`
+    (the reference ships no trainer; its companion learning repo,
+    reference README.md:29-30, aggregates expert-labeled datasets the same
+    way).  Per iteration, one jitted program:
+
+    * mixture rollouts: a per-step Bernoulli(beta) coin picks the greedy
+      expert's action or the learner's argmax over its action-edge logits,
+      so the learner's own state distribution enters the dataset;
+    * every visited padded obs graph is labeled with the EXPERT action and
+      written into a rolling fixed-capacity buffer;
+    * minibatch cross-entropy steps on the aggregate.
+    """
+
+    def __init__(
+        self,
+        env: CoverageEnv,
+        env_params: CoverageParams,
+        model: Optional[EdgeGraphNet] = None,
+        learning_rate: float = 1e-3,
+        capacity: int = 1024,
+        beta_decay: float = 0.7,
+    ):
+        self.inner = CoverageImitationTrainer(env, env_params, model, learning_rate)
+        self.env = env
+        self.env_params = env_params
+        self.model = self.inner.model
+        self.tx = self.inner.tx
+        self.capacity = capacity
+        self.beta_decay = beta_decay
+
+    def init(self, key: jax.Array):
+        p = self.env_params
+        params, opt_state = self.inner.init(key)
+        cap = self.capacity
+        buf = {
+            "nodes": jnp.zeros((cap, p.max_nodes, p.n_node_feat)),
+            "edges": jnp.zeros((cap, p.max_edges, p.n_edge_feat)),
+            "senders": jnp.full((cap, p.max_edges), -1, jnp.int32),
+            "receivers": jnp.full((cap, p.max_edges), -1, jnp.int32),
+            "label": jnp.zeros((cap, p.n_robots), jnp.int32),
+        }
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "buffer": buf,
+            "write_pos": jnp.int32(0),
+            "filled": jnp.int32(0),
+        }
+
+    @partial(
+        jax.jit,
+        static_argnums=(0,),
+        static_argnames=("n_envs", "n_steps", "n_grad_steps", "batch_size"),
+    )
+    def iteration(
+        self,
+        state,
+        key: jax.Array,
+        beta,
+        n_envs: int = 8,
+        n_steps: int = 16,
+        n_grad_steps: int = 4,
+        batch_size: int = 128,
+    ):
+        env, p = self.env, self.env_params
+        k_collect, k_train = jax.random.split(key)
+        params_now = state["params"]
+
+        def one_env(key):
+            k_reset, k_scan = jax.random.split(key)
+            s, obs = env.reset_env(k_reset, p)
+
+            def body(carry, key_t):
+                s, obs = carry
+                k_coin, k_exp, k_step = jax.random.split(key_t, 3)
+                u_exp = env.controller(s, p, key=k_exp, greedy=True).reshape(-1)
+                g = self.inner._graph(obs)
+                _, edge_logits = self.model.apply(params_now, g)
+                logits = action_edge_logits(edge_logits, p)
+                u_learn = jnp.argmax(logits, axis=1).astype(u_exp.dtype)
+                use_expert = jax.random.bernoulli(k_coin, beta)
+                u = jnp.where(use_expert, u_exp, u_learn)
+                s2, obs2, _, _, _ = env.step_env(k_step, s, u, p)
+                sample = {
+                    "nodes": obs["nodes"],
+                    "edges": obs["edges"],
+                    "senders": obs["senders"],
+                    "receivers": obs["receivers"],
+                    "label": u_exp.astype(jnp.int32),
+                }
+                return (s2, obs2), sample
+
+            _, traj = jax.lax.scan(body, (s, obs), jax.random.split(k_scan, n_steps))
+            return traj
+
+        traj = jax.vmap(one_env)(jax.random.split(k_collect, n_envs))
+        traj = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+
+        n_new = n_envs * n_steps
+        cap = self.capacity
+        idx = (state["write_pos"] + jnp.arange(n_new)) % cap
+        buf = {
+            k: state["buffer"][k].at[idx].set(
+                traj[k].astype(state["buffer"][k].dtype)
+            )
+            for k in state["buffer"]
+        }
+        write_pos = (state["write_pos"] + n_new) % cap
+        filled = jnp.minimum(state["filled"] + n_new, cap)
+
+        def grad_step(carry, key_b):
+            params, opt_state = carry
+            bi = jax.random.randint(key_b, (min(batch_size, cap),), 0, filled)
+            batch = {k: v[bi] for k, v in buf.items()}
+            loss, grads = jax.value_and_grad(self.inner.loss_fn)(params, batch)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            grad_step,
+            (state["params"], state["opt_state"]),
+            jax.random.split(k_train, n_grad_steps),
+        )
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "buffer": buf,
+            "write_pos": write_pos,
+            "filled": filled,
+        }
+        return state, jnp.mean(losses)
+
+    def fit(self, key: jax.Array, n_iters: int = 10, **kwargs):
+        """beta_k = beta_decay^k schedule (beta_0 = 1: pure expert)."""
+        k_init, key = jax.random.split(key)
+        state = self.init(k_init)
+        losses = []
+        for k in range(n_iters):
+            key, sub = jax.random.split(key)
+            beta = jnp.asarray(self.beta_decay**k)
+            state, loss = self.iteration(state, sub, beta, **kwargs)
+            losses.append(float(loss))
+        return state, losses

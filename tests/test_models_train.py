@@ -403,3 +403,19 @@ def test_unpack_obs_state_masked_parity_vs_reference_tf():
         np.asarray(g["receivers"]).reshape(-1)[mask], receivers.numpy()
     )
     np.testing.assert_allclose(np.asarray(g["globs"]), globs.numpy())
+
+
+def test_coverage_dagger_trains():
+    """CoverageDaggerTrainer: mixture rollouts aggregate into the rolling
+    buffer and minibatch training reduces the cloning loss."""
+    from gym_flock_tpu.parallel import CoverageDaggerTrainer
+
+    env, params = gft.make("Coverage-v0", n_graphs=1)
+    tr = CoverageDaggerTrainer(env, params, capacity=64, learning_rate=3e-3)
+    state, losses = tr.fit(
+        jax.random.key(0), n_iters=3, n_envs=2, n_steps=4,
+        n_grad_steps=6, batch_size=8,
+    )
+    assert int(state["filled"]) == 24  # 3 iters x 2 envs x 4 steps
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # cloning loss decreases
