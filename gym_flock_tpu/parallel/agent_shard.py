@@ -509,14 +509,36 @@ def agent_sharded_rollout(
             x0 = flocking_reset_sharded(
                 key, params, ap_axis, mode, use_pallas, interpret
             )
+            # cross-step fusion (same as the dense expert_rollout): the ring
+            # pass at x_{t+1} produced for step t's observation carries its
+            # expert channels into step t+1's controller — ONE ring schedule
+            # per step instead of two
+            chan = "core" if params.centralized else "full"
+            s0 = flocking_sums_sharded(
+                x0, params.comm_radius, params.comm_radius2, ap_axis, mode,
+                use_pallas, interpret, channels=chan,
+            )
 
-            def body(x, _):
-                x2, _, reward = flocking_step_sharded(
-                    x, params, ap_axis, mode, use_pallas, interpret
+            def body(carry, _):
+                x, s = carry
+                u = turner_controller_sharded(
+                    x, params, ap_axis, mode, sums=s,
+                    use_pallas=use_pallas, interpret=interpret,
                 )
-                return x2, reward
+                x2 = _integrate(x, u, params.dt)
+                s2 = flocking_sums_sharded(
+                    x2, params.comm_radius, params.comm_radius2, ap_axis,
+                    mode, use_pallas, interpret, channels=chan,
+                )
+                n = x.shape[0] * jax.lax.axis_size(ap_axis)
+                v = x2[:, 2:4]
+                m1 = jax.lax.psum(jnp.sum(v, axis=0), ap_axis)
+                m2 = jax.lax.psum(jnp.sum(v * v, axis=0), ap_axis)
+                mean = m1 / n
+                reward = -1.0 * jnp.sum(m2 / n - mean * mean)
+                return (x2, s2), reward
 
-            x, rewards = jax.lax.scan(body, x0, None, length=n_steps)
+            (x, _), rewards = jax.lax.scan(body, (x0, s0), None, length=n_steps)
             return x, jnp.mean(rewards)
 
         xs, mean_r = jax.vmap(one_env)(keys_local)

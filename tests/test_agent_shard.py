@@ -314,3 +314,48 @@ def test_khop_aggregate_sharded_matches_and_differentiates(mesh8, use_pallas):
     )(feats)
     got_g = jax.grad(lambda f: jnp.sum(fn(x, f) * co))(feats)
     np.testing.assert_allclose(got_g, want_g, rtol=2e-5, atol=2e-5)
+
+
+def test_agent_sharded_rollout_fused_matches_stepwise(devices8):
+    """The fused rollout (carried ring-pass sums) == the per-step
+    flocking_step_sharded loop from the same reset."""
+    from jax.sharding import PartitionSpec as P
+
+    from gym_flock_tpu.envs.flocking import FlockingParams
+    from gym_flock_tpu.parallel import agent_sharded_rollout, make_flock_mesh
+    from gym_flock_tpu.parallel.agent_shard import (
+        flocking_reset_sharded,
+        flocking_step_sharded,
+    )
+
+    params = FlockingParams(n_agents=16, max_reset_tries=4)
+    mesh = make_flock_mesh(2, 2)
+    dp, ap = mesh.axis_names
+
+    xs_f, mr_f = agent_sharded_rollout(
+        params, jax.random.key(5), n_envs=4, n_steps=3, mesh=mesh, mode="ring"
+    )
+
+    def local_fn(keys_local):
+        def one_env(key):
+            x0 = flocking_reset_sharded(key, params, ap, "ring", False, False)
+
+            def body(x, _):
+                x2, _, r = flocking_step_sharded(x, params, ap, "ring", False, False)
+                return x2, r
+
+            x, rs = jax.lax.scan(body, x0, None, length=3)
+            return x, jnp.mean(rs)
+
+        xs, mr = jax.vmap(one_env)(keys_local)
+        return xs, jax.lax.pmean(jnp.mean(mr), dp)
+
+    keys = jax.random.split(jax.random.key(5), 4)
+    xs_s, mr_s = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=P(dp), out_specs=(P(dp, ap), P()),
+        check_vma=False,
+    )(keys)
+    np.testing.assert_allclose(
+        np.asarray(xs_f), np.asarray(xs_s), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(float(mr_f), float(mr_s), rtol=1e-4)
