@@ -523,10 +523,9 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
         dynamics (FlockingStochastic's per-step dt); deterministic variants
         ignore it.
 
-        Note: the traj ``values``/``network`` fields are the relative-
-        feature observation — for :class:`FlockingAbsoluteEnv` (whose
-        observation is the top-k neighbor table) collect through
-        ``parallel.batch_rollout`` instead.
+        The traj ``values`` field is each variant's own observation
+        (relative features; the top-k neighbor table for
+        :class:`FlockingAbsoluteEnv`).
         """
         if centralized is None:
             centralized = params.centralized
@@ -623,6 +622,29 @@ class FlockingAbsoluteEnv(FlockingRelativeEnv):
 
     def observation_space(self, params: FlockingParams):
         return Box(-jnp.inf, jnp.inf, (params.n_agents, params.n_neighbors * 4))
+
+    def _fused_pass(self, x, params, centralized):
+        """Absolute-obs fused pass: the top-k neighbor table shares the
+        SAME pairwise r2 with the expert sums, so the fused rollout's
+        ``values`` field is this env's real observation."""
+        dx, dy, dvx, dvy, r2 = _pairwise_channels(x)
+        adj = radius_adjacency(r2, params.comm_radius2)
+        network = mean_pool_normalize(adj) if params.mean_pooling else adj
+        _, idx = jax.lax.top_k(-r2, params.n_neighbors)
+        rel = x[:, None, :] - x[idx, :]
+        obs = rel.reshape(params.n_agents, params.n_neighbors * 4)
+        gx = turner_potential_grad(dx, r2, params.comm_radius)
+        gy = turner_potential_grad(dy, r2, params.comm_radius)
+        if not centralized:
+            gx = gx * adj
+            gy = gy * adj
+            s_dvx = jnp.sum(dvx * adj, axis=1)
+            s_dvy = jnp.sum(dvy * adj, axis=1)
+        else:
+            n = x.shape[0]
+            s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+            s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+        return obs, network, jnp.sum(gx, axis=1), jnp.sum(gy, axis=1), s_dvx, s_dvy
 
 
 class FlockingLeaderEnv(FlockingRelativeEnv):

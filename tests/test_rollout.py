@@ -163,3 +163,26 @@ def test_expert_rollout_stochastic_variant_semantics():
     f2, _ = env.expert_rollout(state0, params, 5, key=jax.random.key(2))
     assert np.all(np.isfinite(np.asarray(f1.x)))
     assert not np.allclose(np.asarray(f1.x), np.asarray(f2.x))
+
+
+def test_expert_rollout_absolute_env_obs():
+    """FlockingAbsolute's fused rollout emits its REAL observation (top-k
+    neighbor table) and matches the unfused loop."""
+    import numpy as np
+
+    env, params = gft.make("Flocking-v0", n_agents=24)
+    state0, _ = env.reset_env(jax.random.key(6), params)
+
+    state = state0
+    for _ in range(4):
+        u = env.controller(state, params)
+        state, (obs, net), _, _, _ = env.step_env(jax.random.key(0), state, u, params)
+
+    final, traj = env.expert_rollout(state0, params, n_steps=4)
+    assert traj["values"].shape == (4, 24, params.n_neighbors * 4)
+    np.testing.assert_allclose(
+        np.asarray(final.x), np.asarray(state.x), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["values"][-1]), np.asarray(obs), rtol=2e-4, atol=1e-5
+    )
