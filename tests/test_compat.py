@@ -253,3 +253,116 @@ def test_run_shepherding_example_smoke():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip()  # printed an episode reward
+
+
+def test_coverage_k_speculation_matches_unfused_stream():
+    """K-deep speculative pipelining is invisible: a 24-step greedy loop
+    produces the same obs/rewards/dones AND the same RNG stream as a
+    fresh env driven with speculation disabled (depth forced to 1 with an
+    immediate miss each step)."""
+    import numpy as np
+
+    from gym_flock_tpu.compat import make_legacy
+
+    env_a = make_legacy("Coverage-v0", n_graphs=1)
+    env_a.seed(3)
+    env_a.reset()
+
+    env_b = make_legacy("Coverage-v0", n_graphs=1)
+    env_b.seed(3)
+    env_b.reset()
+
+    traj_a, traj_b = [], []
+    for t in range(24):
+        u_a = env_a.controller(greedy=True)
+        obs_a, r_a, d_a, _ = env_a.step(u_a)
+        traj_a.append((obs_a["nodes"].copy(), r_a, d_a))
+
+        u_b = env_b.controller(greedy=True)
+        env_b._flush_queue()  # force the unfused fallback path
+        obs_b, r_b, d_b, _ = env_b.step(u_b)
+        traj_b.append((obs_b["nodes"].copy(), r_b, d_b))
+        np.testing.assert_array_equal(u_a, u_b)
+
+    for (na, ra, da), (nb, rb, db) in zip(traj_a, traj_b):
+        np.testing.assert_array_equal(na, nb)
+        assert ra == rb and da == db
+    # streams identical afterwards
+    np.testing.assert_array_equal(
+        np.asarray(env_a.controller(greedy=True)),
+        np.asarray(env_b.controller(greedy=True)),
+    )
+
+
+def test_coverage_k_speculation_mid_run_miss():
+    """A perturbed action mid-run (speculation miss) commits the correct
+    transition and RNG stream."""
+    import numpy as np
+
+    from gym_flock_tpu.compat import make_legacy
+
+    env_a = make_legacy("Coverage-v0", n_graphs=1)
+    env_a.seed(5)
+    env_a.reset()
+    env_b = make_legacy("Coverage-v0", n_graphs=1)
+    env_b.seed(5)
+    env_b.reset()
+
+    for t in range(10):
+        u_a = env_a.controller(greedy=True)
+        u_b = env_b.controller(greedy=True)
+        env_b._flush_queue()
+        if t == 4:  # perturb: guaranteed miss on env_a's queue
+            u_a = (np.asarray(u_a) + 1) % 4
+            u_b = u_a.copy()
+        obs_a, r_a, d_a, _ = env_a.step(u_a)
+        obs_b, r_b, d_b, _ = env_b.step(u_b)
+        np.testing.assert_array_equal(obs_a["nodes"], obs_b["nodes"])
+        assert r_a == r_b and d_a == d_b
+
+
+def test_coverage_k_speculation_double_controller_and_direct_step():
+    """Doubled controller() calls and direct step() without controller()
+    keep the stream consistent with the unfused env."""
+    import numpy as np
+
+    from gym_flock_tpu.compat import make_legacy
+
+    env_a = make_legacy("Coverage-v0", n_graphs=1)
+    env_a.seed(7)
+    env_a.reset()
+    env_b = make_legacy("Coverage-v0", n_graphs=1)
+    env_b.seed(7)
+    env_b.reset()
+
+    # warm a deep queue on env_a
+    for _ in range(3):
+        u = env_a.controller(greedy=True)
+        env_a.step(u)
+        ub = env_b.controller(greedy=True)
+        env_b._flush_queue()
+        env_b.step(ub)
+
+    # doubled controller call
+    _ = env_a.controller(greedy=True)
+    u_a = env_a.controller(greedy=True)
+    _ = env_b.controller(greedy=True)
+    env_b._flush_queue()
+    u_b = env_b.controller(greedy=True)
+    env_b._flush_queue()
+    np.testing.assert_array_equal(u_a, u_b)
+    oa, ra, da, _ = env_a.step(u_a)
+    ob, rb, db, _ = env_b.step(u_b)
+    np.testing.assert_array_equal(oa["nodes"], ob["nodes"])
+
+    # direct step without controller (queue present on env_a after a hit run)
+    u = env_a.controller(greedy=True)
+    env_a.step(u)  # hit -> queue has remaining entries, head un-served
+    ub = env_b.controller(greedy=True)
+    env_b._flush_queue()
+    env_b.step(ub)
+    act = np.zeros((6, 1), dtype=np.int32)
+    oa, ra, da, _ = env_a.step(act)
+    ob, rb, db, _ = env_b.step(act)
+    np.testing.assert_array_equal(oa["nodes"], ob["nodes"])
+    assert ra == rb and da == db
