@@ -38,6 +38,10 @@ def _to_np(tree):
 class LegacyEnv:
     """Stateful reset()/step()/controller()/render() facade over a pure env."""
 
+    _SPEC_DEPTH_MAX = 32
+    _SPEC_BYTES_BUDGET = 8 << 20  # host-side lookahead queue cap
+    _CTRL_CACHE_MAX = 8  # option signatures are boolean-ish; bound anyway
+
     def __init__(self, env, params, env_id: str = ""):
         self.env = env
         self.params = params
@@ -46,8 +50,20 @@ class LegacyEnv:
         self._key = jax.random.key(0)
         self._renderer = None
         self._ctrl_cache = {}
-        self._spec = None  # speculative (controller -> step) result
+        self._spec = None  # kept for API compat; superseded by the queue
+        self._queue = []  # speculative lookahead transitions (host-side)
+        self._queue_sig = None  # controller signature the queue was built for
+        self._head_served = False
+        self._streak = False  # last queue fully drained by hits
+        self._deep_depth = None  # sized from measured per-entry bytes
         self.np_random = np.random.RandomState(0)
+
+    def _flush_queue(self, keep_streak=False):
+        self._queue = []
+        self._queue_sig = None
+        self._head_served = False
+        if not keep_streak:
+            self._streak = False
 
     # -- gym surface ------------------------------------------------------
 
@@ -55,6 +71,7 @@ class LegacyEnv:
         self._key = jax.random.key(0 if seed is None else seed)
         self.np_random = np.random.RandomState(seed)
         self._spec = None
+        self._flush_queue()
         return [seed]
 
     def _split(self):
@@ -63,40 +80,57 @@ class LegacyEnv:
 
     def reset(self):
         self._spec = None
+        self._flush_queue()
         self._state, obs = self.env.reset(self._split(), self.params)
         return _to_np(obs)
 
     def step(self, action):
-        spec, self._spec = self._spec, None
-        if spec is not None and np.array_equal(
-            np.asarray(action), spec["action"]
-        ):
-            # speculation hit: the controller() call already computed this
-            # exact transition in its fused dispatch — commit it.
-            self._key = spec["key_next"]
-            self._state = spec["state"]
-            obs, reward, done, info = jax.device_get(
-                (spec["obs"], spec["reward"], spec["done"], spec["info"])
-            )
-            return obs, float(reward), bool(done), info
+        if self._queue:
+            entry = self._queue[0]
+            if np.array_equal(np.asarray(action), entry["action"]):
+                # hit: commit the queued transition.  All leaves are host
+                # numpy (bulk-fetched at queue build) — dispatch-free apart
+                # from the key wrap.  The base controller consumes no key
+                # split, so only the step split commits here.
+                self._queue.pop(0)
+                self._head_served = False
+                self._key = jax.random.wrap_key_data(jnp.asarray(entry["kd"]))
+                self._state = entry["state"]
+                if not self._queue:
+                    self._streak = True  # fully drained -> deep lookahead
+                return (
+                    entry["obs"],
+                    float(entry["reward"]),
+                    bool(entry["done"]),
+                    {},
+                )
+            # miss: no queued split was committed (serving a base
+            # controller consumes nothing) — plain step from self._key
+            self._flush_queue()
         action = jnp.asarray(np.asarray(action))
         self._state, obs, reward, done, info = self.env.step(
             self._split(), self._state, action, self.params
         )
         return _to_np(obs), float(reward), bool(done), info
 
-    _CTRL_CACHE_MAX = 8  # option signatures are boolean-ish; bound anyway
-
     def controller(self, *args, **kwargs):
-        """Expert action.
+        """Expert action with K-deep speculative pipelining.
 
         The reference driver's universal pattern is ``u = env.controller()``
         immediately followed by ``env.step(u)`` (reference test.py:54-66).
-        Single-stream per-call dispatch dominates that loop here, so the
-        jit-cached path *fuses* controller + step into ONE device program and
-        stashes the resulting transition; ``step()`` serves it from the stash
-        when called with the same action (and falls back to a normal step —
-        with an identical RNG stream — when not).
+        Single-stream per-call dispatch+fetch dominates that loop here, so
+        after the first confirmed hit ``controller()`` computes a whole
+        K-transition lookahead in ONE device program (a ``lax.scan`` of the
+        fused controller+step) and subsequent controller()/step() pairs are
+        served from a host-side queue with zero device dispatches.  The
+        base controller is a pure function of the state (no RNG splits), so
+        repeated controller() calls legitimately re-serve the queue head;
+        ``step()`` with any other action — or after state injection /
+        reset / seed / params_from_cfg, which all flush — falls back to a
+        normal step with an RNG stream identical to the unfused pair of
+        calls (semantics tests in tests/test_compat.py).  K is sized from
+        the measured per-transition host bytes against a fixed budget
+        (large-N observation tuples get shallow queues automatically).
         """
         assert self._state is not None, "call reset() first"
         self._spec = None
@@ -112,37 +146,70 @@ class LegacyEnv:
             return np.asarray(
                 self.env.controller(self._state, self.params, *args, **kwargs)
             )
-        fn = self._ctrl_cache.get(sig)
+        if self._queue and sig == self._queue_sig:
+            # serve (or re-serve) the head with zero device work
+            self._head_served = True
+            return np.array(self._queue[0]["action"])
+        self._flush_queue(keep_streak=True)
+
+        depth = 1
+        if self._streak and self._deep_depth is not None:
+            depth = self._deep_depth
+        fns = self._ctrl_cache.get(sig)
+        if fns is None:
+            fns = self._ctrl_cache[sig] = {}
+        fn = fns.get(depth)
         if fn is None:
             env = self.env
 
-            def fused(state, params, key):
-                action = env.controller(state, params, *args, **kwargs)
-                # same stream as an unfused step(): _split() would do
-                # key_next, sub = split(self._key)
-                key_next, sub = jax.random.split(key)
-                st, obs, reward, done, info = env.step_env(
-                    sub, state, action, params
-                )
-                return action, key_next, st, obs, reward, done, info
+            def fused_k(state, params, key):
+                def body(carry, _):
+                    state, key = carry
+                    action = env.controller(state, params, *args, **kwargs)
+                    # same stream as an unfused step(): _split() would do
+                    # key_next, sub = split(self._key)
+                    key_next, sub = jax.random.split(key)
+                    st, obs, reward, done, _ = env.step_env(
+                        sub, state, action, params
+                    )
+                    return (st, key_next), (action, key_next, st, obs, reward, done)
 
-            fn = jax.jit(fused)
-            self._ctrl_cache[sig] = fn
-        action, key_next, st, obs, reward, done, info = fn(
+                _, outs = jax.lax.scan(body, (state, key), None, length=depth)
+                return outs
+
+            fn = fns[depth] = jax.jit(fused_k)
+        actions, keys_next, sts, obss, rewards, dones = fn(
             self._state, self.params, self._key
         )
-        # stash an immutable view; hand the user a writable copy (the
-        # reference returns plain writable np arrays)
-        self._spec = {
-            "action": np.asarray(action),
-            "key_next": key_next,
-            "state": st,
-            "obs": obs,
-            "reward": reward,
-            "done": done,
-            "info": info,
-        }
-        return np.array(action)
+        # ONE bulk fetch for the whole lookahead (per-entry device indexing
+        # measures ~10x slower — see _CoverageLegacyEnv)
+        h_actions, h_kd, h_sts, h_obss, h_rewards, h_dones = jax.device_get(
+            (actions, jax.random.key_data(keys_next), sts, obss, rewards, dones)
+        )
+        take = lambda tree, i: jax.tree.map(lambda x: x[i], tree)
+        self._queue = [
+            {
+                "action": h_actions[i],
+                "kd": h_kd[i],
+                "state": take(h_sts, i),
+                "obs": take(h_obss, i),
+                "reward": h_rewards[i],
+                "done": h_dones[i],
+            }
+            for i in range(depth)
+        ]
+        self._queue_sig = sig
+        self._head_served = True
+        if self._deep_depth is None:
+            per_entry = sum(
+                np.asarray(x).nbytes
+                for x in jax.tree.leaves(self._queue[0])
+            )
+            self._deep_depth = int(
+                max(1, min(self._SPEC_DEPTH_MAX,
+                           self._SPEC_BYTES_BUDGET // max(per_entry, 1)))
+            )
+        return np.array(self._queue[0]["action"])
 
     def render(self, mode: str = "human"):
         if mode != "human":
@@ -190,12 +257,14 @@ class LegacyEnv:
         if updates:
             self.params = self.params.replace(**updates)
             self._spec = None
+            self._flush_queue()
         return self.params
 
     def update_state(self, state_xy: np.ndarray):
         """Snap externally supplied robot positions onto the graph
         (reference coverage_arl.py:42-44) — the ROS/AirSim injection point."""
         self._spec = None
+        self._flush_queue()
         from gym_flock_tpu.envs.coverage import CoverageState
 
         assert isinstance(self._state, CoverageState)
@@ -241,22 +310,8 @@ class _CoverageLegacyEnv(LegacyEnv):
     def __init__(self, env, params, env_id=""):
         super().__init__(env, params, env_id)
         self._vrp = None
-        self._queue = []  # speculative lookahead transitions
-        self._head_served = False
-        self._streak = False  # last queue fully drained by hits
-
-    def _flush_queue(self, keep_streak=False):
-        self._queue = []
-        self._head_served = False
-        if not keep_streak:
-            self._streak = False
-
-    def seed(self, seed=None):
-        self._flush_queue()
-        return super().seed(seed)
 
     def reset(self):
-        self._flush_queue()
         if self._vrp is not None:
             self._vrp.reset()
         return super().reset()

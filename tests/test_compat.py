@@ -145,7 +145,7 @@ def test_flocking_speculation_matches_unfused():
         ua = a.controller()
         ub = b.controller()
         np.testing.assert_array_equal(ua, ub)
-        b._spec = None  # force the unfused path on b
+        b._flush_queue()  # force the unfused path on b
         oa, ra, da, _ = a.step(ua)
         ob, rb, db, _ = b.step(ub)
         _flat_eq(oa, ob)
@@ -167,7 +167,7 @@ def test_coverage_speculation_matches_unfused():
         ua = a.controller(greedy=True)
         ub = b.controller(greedy=True)
         np.testing.assert_array_equal(ua, ub)
-        b._spec = None
+        b._flush_queue()
         oa, ra, da, _ = a.step(ua)
         ob, rb, db, _ = b.step(ub)
         _flat_eq(oa, ob)
@@ -366,3 +366,52 @@ def test_coverage_k_speculation_double_controller_and_direct_step():
     ob, rb, db, _ = env_b.step(act)
     np.testing.assert_array_equal(oa["nodes"], ob["nodes"])
     assert ra == rb and da == db
+
+
+def test_flocking_k_speculation_long_run_stream_equality():
+    """Base-class K-deep pipelining over 20 steps: same trajectory and RNG
+    stream as the unfused loop; repeated controller() calls re-serve the
+    (pure) head action."""
+    import jax
+
+    a = make_legacy("FlockingRelative-v0", n_agents=12)
+    b = make_legacy("FlockingRelative-v0", n_agents=12)
+    a.seed(11), b.seed(11)
+    a.reset(), b.reset()
+    for t in range(20):
+        ua = a.controller()
+        if t == 5:  # doubled controller call: pure, must re-serve same u
+            np.testing.assert_array_equal(ua, a.controller())
+        ub = b.controller()
+        b._flush_queue()
+        np.testing.assert_array_equal(ua, ub)
+        if t == 12:  # perturbed action: miss falls back identically
+            ua = np.asarray(ua) + 0.125
+            ub = ua.copy()
+        oa, ra, da, _ = a.step(ua)
+        ob, rb, db, _ = b.step(ub)
+        _flat_eq(oa, ob)
+        assert ra == rb and da == db
+    _flat_eq(a._state, b._state)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(a._key)),
+        np.asarray(jax.random.key_data(b._key)),
+    )
+
+
+def test_k_speculation_depth_respects_byte_budget():
+    """Large observations automatically get shallow queues (the deep depth
+    is sized against the host-byte budget)."""
+    env = make_legacy("FlockingRelative-v0", n_agents=12)
+    env.seed(0); env.reset()
+    u = env.controller(); env.step(u)  # first hit -> streak
+    u = env.controller(); env.step(u)  # deep queue built
+    small_depth = env._deep_depth
+    assert small_depth == env._SPEC_DEPTH_MAX  # tiny obs -> full depth
+
+    big = make_legacy("FlockingRelative-v0", n_agents=600)
+    big.seed(0); big.reset()
+    u = big.controller(); big.step(u)
+    u = big.controller(); big.step(u)
+    # [600, 600] network per entry (~1.4 MB) against the 8 MB budget
+    assert 1 <= big._deep_depth < big._SPEC_DEPTH_MAX
