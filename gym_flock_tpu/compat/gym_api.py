@@ -258,6 +258,7 @@ class LegacyEnv:
             self.params = self.params.replace(**updates)
             self._spec = None
             self._flush_queue()
+            self._deep_depth = None  # re-measure: obs size may have changed
         return self.params
 
     def update_state(self, state_xy: np.ndarray):
@@ -326,10 +327,6 @@ class _CoverageLegacyEnv(LegacyEnv):
         self._state = state
         return _to_np(obs), float(reward), bool(done)
 
-    def update_state(self, state_xy):
-        self._flush_queue()
-        return super().update_state(state_xy)
-
     def step(self, action):
         if self._queue and self._head_served:
             entry = self._queue[0]
@@ -350,18 +347,15 @@ class _CoverageLegacyEnv(LegacyEnv):
                     {},
                 )
             # miss: the served controller()'s split is already committed
-            # (self._key == entry k1); fall back to a normal step
+            # (self._key == entry k1); flush and take the base plain-step
+            # path (identical RNG stream)
             self._flush_queue()
-            action = jnp.asarray(np.asarray(action))
-            self._state, obs, reward, done, info = self.env.step(
-                self._split(), self._state, action, self.params
-            )
-            return _to_np(obs), float(reward), bool(done), info
+            return LegacyEnv.step(self, action)
         if self._queue:
             # direct step() without a controller() call: none of the queued
             # splits are committed; discard and step normally
             self._flush_queue()
-        return super().step(action)
+        return LegacyEnv.step(self, action)
 
     def controller(self, random=False, greedy=False, reset_solution=False):
         assert self._state is not None, "call reset() first"

@@ -148,7 +148,9 @@ def _mm_expert_active(params) -> bool:
     return (
         mm is not None
         and params.n_robots >= 16
-        and mm.shape[0] * mm.shape[1] <= 8192
+        # single-graph banks always qualify (the original 1.7x case);
+        # multi-graph banks are bounded by the flattened one-hot width
+        and (mm.shape[0] == 1 or mm.shape[0] * mm.shape[1] <= 8192)
     )
 
 

@@ -689,7 +689,14 @@ def _make_sparse_adj_raw_vmappable(k_max, interpret, impl):
         # O(N^2) adjacency pass for every element.
         x_b, h_b, scal_b = in_batched
         assert not scal_b, "vmap over radii unsupported; close over them instead"
-        assert x_b and h_b, "x and h must be batched together"
+        if not (x_b or h_b):
+            out = _sparse_adj_raw_impl(x, h, scal, k_max, interpret, impl)
+            return out, (False, False)
+        # broadcast a shared (unbatched) operand, like the dense rule
+        if not x_b:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        if not h_b:
+            h = jnp.broadcast_to(h[None], (axis_size,) + h.shape)
         if x.ndim > 3:
             lead = x.shape[:-2]
             out, deg = _sparse_adj_raw_impl(
@@ -815,6 +822,117 @@ def khop_aggregate_sparse(
     return jnp.concatenate(zs, axis=-1)
 
 
+def _sparse_reset_accept_impl(x: jax.Array, scal: jax.Array, k_max: int):
+    """[N, 4] or [B, N, 4] input -> bool / [B] bool (see sparse_reset_accept)."""
+    squeeze = x.ndim == 2
+    xb = x[None] if squeeze else x
+    n = xb.shape[1]
+    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
+    n_b = n // BLOCK
+    comm_radius, comm_radius2, min_dist_thresh = scal[0], scal[1], scal[2]
+    prune_r = jnp.maximum(comm_radius, min_dist_thresh)
+
+    def prep(xi):
+        perm = hilbert_order(xi, comm_radius)
+        xs = xi[perm]
+        table, overflow = block_pair_table(xs, prune_r, k_max)
+        return xs, table, overflow
+
+    xs, table, overflow = jax.vmap(prep)(xb)
+
+    def sparse_ok(operands):
+        xs_b, table_b = operands
+
+        def one_env(xs_, table_):
+            xblocks = xs_.reshape(n_b, BLOCK, 4)
+
+            def one_row(i, row):
+                def body(carry, j):
+                    min_r2, deg = carry
+                    valid = j >= 0
+                    jc = jnp.maximum(j, 0)
+                    xc = jax.lax.dynamic_slice(
+                        xs_, (jc * BLOCK, jnp.zeros((), jc.dtype)), (BLOCK, 4)
+                    )
+                    row_ids = i * BLOCK + jnp.arange(BLOCK)
+                    col_ids = jc * BLOCK + jnp.arange(BLOCK)
+                    dx = row[:, 0, None] - xc[None, :, 0]
+                    dy = row[:, 1, None] - xc[None, :, 1]
+                    r2 = dx * dx + dy * dy
+                    r2 = jnp.where(
+                        row_ids[:, None] == col_ids[None, :], jnp.inf, r2
+                    )
+                    t_min = jnp.min(r2, axis=1)
+                    t_deg = jnp.sum((r2 < comm_radius2).astype(jnp.int32), axis=1)
+                    min_r2 = jnp.where(valid, jnp.minimum(min_r2, t_min), min_r2)
+                    deg = deg + jnp.where(valid, t_deg, 0).astype(deg.dtype)
+                    return (min_r2, deg), None
+
+                init = (
+                    jnp.full((BLOCK,), jnp.inf, xs_.dtype),
+                    jnp.zeros((BLOCK,), jnp.int32),
+                )
+                (min_r2, deg), _ = jax.lax.scan(body, init, table_[i])
+                return min_r2, deg
+
+            min_r2, deg = jax.vmap(one_row)(jnp.arange(n_b), xblocks)
+            return (jnp.min(deg) >= 2) & (
+                jnp.sqrt(jnp.min(min_r2)) > min_dist_thresh
+            )
+
+        return jax.vmap(one_env)(xs_b, table_b)
+
+    def dense_ok(operands):
+        xs_b, _ = operands
+
+        def one_env(xs_):
+            px, py = xs_[:, 0], xs_[:, 1]
+            dx = px[:, None] - px[None, :]
+            dy = py[:, None] - py[None, :]
+            r2 = dx * dx + dy * dy
+            eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == (
+                jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            )
+            r2 = jnp.where(eye, jnp.inf, r2)
+            degree = jnp.min(jnp.sum(r2 < comm_radius2, axis=1))
+            return (degree >= 2) & (jnp.sqrt(jnp.min(r2)) > min_dist_thresh)
+
+        return jax.vmap(one_env)(xs_b)
+
+    out = jax.lax.cond(jnp.any(overflow), dense_ok, sparse_ok, (xs, table))
+    return out[0] if squeeze else out
+
+
+def _make_reset_accept_vmappable(k_max):
+    @jax.custom_batching.custom_vmap
+    def f(x, scal):
+        return _sparse_reset_accept_impl(x, scal, k_max)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, x, scal):
+        # keep the overflow fallback a real scalar branch under vmap (the
+        # batched reset path: batch_rollout / batch_expert_rollout vmap
+        # reset_env) — a vmapped plain cond would select-execute the dense
+        # O(N^2) test for every env, the exact cost this function avoids
+        x_b, scal_b = in_batched
+        assert not scal_b, "vmap over thresholds unsupported; close over them"
+        if x.ndim == 2 or not x_b:
+            return _sparse_reset_accept_impl(x, scal, k_max), False
+        if x.ndim > 3:
+            lead = x.shape[:-2]
+            out = _sparse_reset_accept_impl(
+                x.reshape((-1,) + x.shape[-2:]), scal, k_max
+            )
+            return out.reshape(lead), True
+        return _sparse_reset_accept_impl(x, scal, k_max), True
+
+    return f
+
+
+_RESET_ACCEPT_CACHE = {}
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
 def sparse_reset_accept(
     x: jax.Array,
     comm_radius,
@@ -831,65 +949,13 @@ def sparse_reset_accept(
     contribute degree or violate the distance threshold is in a listed
     block — pruned pairs are provably farther than both cutoffs.  Overflow
     (pathologically clustered draws) falls back to a dense test via a real
-    ``lax.cond`` branch.  [N, 4] input, N a multiple of BLOCK.
+    ``lax.cond`` branch, kept a real branch under ``jax.vmap`` by a
+    ``custom_vmap`` rule routing to the native [B, N, 4] batch form.
+    [N, 4] or [B, N, 4] input, N a multiple of BLOCK.
     """
-    n = x.shape[0]
-    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
-    n_b = n // BLOCK
-    prune_r = jnp.maximum(comm_radius, min_dist_thresh)
-    perm = hilbert_order(x, comm_radius)
-    xs = x[perm]
-    table, overflow = block_pair_table(xs, prune_r, k_max)
-
-    def sparse_ok(operands):
-        xs_, table_ = operands
-        xb = xs_.reshape(n_b, BLOCK, 4)
-
-        def one_row(i, row):
-            def body(carry, j):
-                min_r2, deg = carry
-                valid = j >= 0
-                jc = jnp.maximum(j, 0)
-                xc = jax.lax.dynamic_slice(
-                    xs_, (jc * BLOCK, jnp.zeros((), jc.dtype)), (BLOCK, 4)
-                )
-                row_ids = i * BLOCK + jnp.arange(BLOCK)
-                col_ids = jc * BLOCK + jnp.arange(BLOCK)
-                dx = row[:, 0, None] - xc[None, :, 0]
-                dy = row[:, 1, None] - xc[None, :, 1]
-                r2 = dx * dx + dy * dy
-                r2 = jnp.where(
-                    row_ids[:, None] == col_ids[None, :], jnp.inf, r2
-                )
-                t_min = jnp.min(r2, axis=1)
-                t_deg = jnp.sum((r2 < comm_radius2).astype(jnp.int32), axis=1)
-                min_r2 = jnp.where(valid, jnp.minimum(min_r2, t_min), min_r2)
-                deg = deg + jnp.where(valid, t_deg, 0).astype(deg.dtype)
-                return (min_r2, deg), None
-
-            init = (
-                jnp.full((BLOCK,), jnp.inf, xs_.dtype),
-                jnp.zeros((BLOCK,), jnp.int32),
-            )
-            (min_r2, deg), _ = jax.lax.scan(body, init, table_[i])
-            return min_r2, deg
-
-        min_r2, deg = jax.vmap(one_row)(jnp.arange(n_b), xb)
-        return (jnp.min(deg) >= 2) & (
-            jnp.sqrt(jnp.min(min_r2)) > min_dist_thresh
-        )
-
-    def dense_ok(operands):
-        xs_, _ = operands
-        px, py = xs_[:, 0], xs_[:, 1]
-        dx = px[:, None] - px[None, :]
-        dy = py[:, None] - py[None, :]
-        r2 = dx * dx + dy * dy
-        eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == (
-            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        )
-        r2 = jnp.where(eye, jnp.inf, r2)
-        degree = jnp.min(jnp.sum(r2 < comm_radius2, axis=1))
-        return (degree >= 2) & (jnp.sqrt(jnp.min(r2)) > min_dist_thresh)
-
-    return jax.lax.cond(overflow, dense_ok, sparse_ok, (xs, table))
+    if k_max not in _RESET_ACCEPT_CACHE:
+        _RESET_ACCEPT_CACHE[k_max] = _make_reset_accept_vmappable(k_max)
+    scal = jnp.asarray(
+        [comm_radius, comm_radius2, min_dist_thresh], jnp.result_type(x.dtype)
+    )
+    return _RESET_ACCEPT_CACHE[k_max](x, scal)

@@ -150,9 +150,11 @@ def batch_expert_rollout(
     """
 
     def one(key):
-        k_reset, _ = jax.random.split(key)
+        k_reset, k_roll = jax.random.split(key)
         state, _ = env.reset_env(k_reset, params)
-        return env.expert_rollout(state, params, n_steps, centralized=centralized)
+        return env.expert_rollout(
+            state, params, n_steps, centralized=centralized, key=k_roll
+        )
 
     keys = jax.random.split(key, n_envs)
     if mesh is None:

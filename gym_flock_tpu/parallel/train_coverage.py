@@ -388,6 +388,12 @@ class CoverageDaggerTrainer:
 
         n_new = n_envs * n_steps
         cap = self.capacity
+        # a single scatter with duplicate indices would pair one sample's
+        # graph with another's label (per-key winners are undefined)
+        assert n_new <= cap, (
+            f"n_envs*n_steps={n_new} exceeds buffer capacity={cap}; "
+            f"raise capacity or collect less per iteration"
+        )
         idx = (state["write_pos"] + jnp.arange(n_new)) % cap
         buf = {
             k: state["buffer"][k].at[idx].set(

@@ -243,3 +243,44 @@ def test_sparse_expert_channels_match_dense_full():
     scale = 1.0 + jnp.abs(want)
     for ch in (10, 11):
         assert float(jnp.max(jnp.abs(got[:, ch] - want[:, ch]) / scale[:, ch])) < 1e-4
+
+
+def test_sparse_reset_accept_vmap_and_batched():
+    """vmap of the unbatched accept == per-env results, and the batched
+    [B, N, 4] form matches too (custom_vmap keeps the overflow fallback a
+    scalar branch on the batched reset path)."""
+    from gym_flock_tpu.ops.sparse_flocking import sparse_reset_accept
+
+    xs = jax.vmap(lambda k: _swarm(k, 256, 5.0))(
+        jax.random.split(jax.random.key(41), 4)
+    )
+    per_env = [bool(sparse_reset_accept(xs[i], CR, CR2, 0.1)) for i in range(4)]
+    got_v = jax.vmap(lambda x: sparse_reset_accept(x, CR, CR2, 0.1))(xs)
+    got_b = sparse_reset_accept(xs, CR, CR2, 0.1)
+    assert [bool(v) for v in got_v] == per_env
+    assert [bool(v) for v in got_b] == per_env
+
+
+def test_sparse_adjacency_matmul_vmap_shared_operand():
+    """vmap with one shared (unbatched) operand broadcasts instead of
+    failing: a batch of swarms with shared features and vice versa."""
+    from gym_flock_tpu.ops.sparse_flocking import adjacency_matmul_sparse
+
+    xs = jax.vmap(lambda k: _swarm(k, 256, 6.0))(
+        jax.random.split(jax.random.key(43), 3)
+    )
+    h = jax.random.normal(jax.random.key(44), (256, 5), jnp.float32)
+
+    got = jax.vmap(lambda x: adjacency_matmul_sparse(x, h, CR2))(xs)
+    want = jnp.stack(
+        [adjacency_matmul_sparse(xs[i], h, CR2) for i in range(3)]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    x0 = xs[0]
+    hs = jax.random.normal(jax.random.key(45), (3, 256, 5), jnp.float32)
+    got2 = jax.vmap(lambda hv: adjacency_matmul_sparse(x0, hv, CR2))(hs)
+    want2 = jnp.stack(
+        [adjacency_matmul_sparse(x0, hs[i], CR2) for i in range(3)]
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
