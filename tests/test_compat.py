@@ -415,3 +415,58 @@ def test_k_speculation_depth_respects_byte_budget():
     u = big.controller(); big.step(u)
     # [600, 600] network per entry (~1.4 MB) against the 8 MB budget
     assert 1 <= big._deep_depth < big._SPEC_DEPTH_MAX
+
+
+@pytest.mark.parametrize("env_id,kwargs", [
+    ("FlockingRelative-v0", {"n_agents": 10}),
+    ("Coverage-v0", {"n_graphs": 1}),
+])
+def test_k_speculation_randomized_differential(env_id, kwargs):
+    """Randomized 120-event interleaving of controller/step/perturbed-step/
+    doubled-controller/reset against a speculation-disabled twin: every
+    observation, reward, done, and the final RNG stream must match."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    a = make_legacy(env_id, **kwargs)
+    b = make_legacy(env_id, **kwargs)
+    a.seed(9), b.seed(9)
+    a.reset(), b.reset()
+    is_cov = env_id.startswith("Coverage")
+
+    def ctrl(e):
+        return e.controller(greedy=True) if is_cov else e.controller()
+
+    pending = None
+    for i in range(120):
+        ev = rng.choice(["pair", "double", "miss", "reset"], p=[0.6, 0.15, 0.15, 0.1])
+        if ev == "reset":
+            oa, ob = a.reset(), b.reset()
+            _flat_eq(oa, ob)
+            continue
+        ua = ctrl(a)
+        ub = ctrl(b)
+        b._flush_queue()
+        np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+        if ev == "double":
+            ua2 = ctrl(a)
+            ub2 = ctrl(b)
+            b._flush_queue()
+            np.testing.assert_array_equal(np.asarray(ua2), np.asarray(ub2))
+            ua, ub = ua2, ub2
+        if ev == "miss":
+            if is_cov:
+                ua = (np.asarray(ua) + 1) % 4
+            else:
+                ua = np.asarray(ua) + 0.25
+            ub = np.array(ua)
+        oa, ra, da, _ = a.step(ua)
+        ob, rb, db, _ = b.step(ub)
+        _flat_eq(oa, ob)
+        assert ra == rb and da == db, (i, ev, ra, rb)
+        if da:
+            a.reset(), b.reset()
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(a._key)),
+        np.asarray(jax.random.key_data(b._key)),
+    )
