@@ -168,7 +168,9 @@ def bench_explore_full(B=512, T=32):
     return B * T / best
 
 
-def bench_sparse_flocking(N=65536, T=8):
+def bench_sparse_flocking(N=65536, T=32):
+    # T=32 measures the steady state: the one-time Verlet table build and
+    # the call dispatch amortize across the scan (T=8 under-reports by ~40%)
     env, params = gft.make("FlockingSparse-v0", n_agents=N)
     k1, k2 = jax.random.split(jax.random.key(0))
     pos = jax.random.uniform(k1, (N, 2)) * jnp.sqrt(N * 1.0)  # ~1 agent/unit^2

@@ -78,6 +78,12 @@ class FlockingParams:
     n_leaders: int = struct.field(pytree_node=False, default=2)
     n_obstacles: int = struct.field(pytree_node=False, default=4)
     n_neighbors: int = struct.field(pytree_node=False, default=7)  # absolute-obs k
+    # SparseFlockingEnv rollouts: Verlet slack distance (the Hilbert sort +
+    # candidate table rebuild only when an agent moved > skin/2 since the
+    # last build — ops.sparse_flocking.flocking_sums_sparse_verlet).  None
+    # resolves to comm_radius; 0 disables reuse (rebuild every step).
+    # Static: gates a Python-level branch in expert_rollout.
+    verlet_skin: float | None = struct.field(pytree_node=False, default=None)
 
     # --- dynamic ---
     comm_radius: float = 0.9
@@ -938,6 +944,84 @@ class SparseFlockingEnv(LargeFlockingEnv):
             s_dvx, s_dvy = s[..., 0], s[..., 3]
         controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
         return jnp.clip(controls, -10.0, 10.0) / params.action_scalar
+
+    def expert_rollout(
+        self,
+        state: FlockingState,
+        params: FlockingParams,
+        n_steps: int,
+        centralized: bool | None = None,
+        key: jax.Array | None = None,
+    ):
+        """Fused rollout with a cross-STEP Verlet table.
+
+        On top of the base one-pass-per-step fusion, the Hilbert sort +
+        candidate table (26% of the sparse pass at N=65k, measured) is
+        carried through the scan and rebuilt only when an agent has moved
+        more than ``verlet_skin/2`` since the last build — see
+        :func:`gym_flock_tpu.ops.sparse_flocking.flocking_sums_sparse_verlet`
+        for the exactness argument.  ``params.verlet_skin=0`` recovers the
+        every-step rebuild (the base behavior).
+        """
+        from gym_flock_tpu.ops.sparse_flocking import (
+            BLOCK,
+            flocking_sums_sparse_verlet,
+            verlet_build,
+        )
+
+        skin = params.verlet_skin
+        if skin is None:
+            skin = params.comm_radius
+        if skin <= 0.0 or params.n_agents % BLOCK != 0:
+            return super().expert_rollout(
+                state, params, n_steps, centralized=centralized, key=key
+            )
+        if centralized is None:
+            centralized = params.centralized
+        if key is None:
+            key = jax.random.key(0)
+        channels = "core" if centralized else "expert"
+
+        def fused(x, vs):
+            s, vs = flocking_sums_sparse_verlet(
+                x, vs, params.comm_radius, params.comm_radius2, skin,
+                channels=channels,
+            )
+            values, network = s[..., 0:6], s[..., 8]
+            if centralized:
+                n = x.shape[0]
+                gx, gy = s[..., 6], s[..., 7]
+                dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+                dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+            else:
+                gx, gy = s[..., 10], s[..., 11]
+                dvx, dvy = s[..., 0], s[..., 3]
+            return values, network, gx, gy, dvx, dvy, vs
+
+        vs0 = verlet_build(state.x, params.comm_radius, skin)
+        _, _, gx0, gy0, dvx0, dvy0, vs0 = fused(state.x, vs0)
+
+        def body(carry, key_t):
+            x, s_gx, s_gy, s_dvx, s_dvy, vs = carry
+            controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
+            u = self._rollout_action(controls, params)
+            x1 = self._rollout_integrate(x, u, params, key_t)
+            values, network, s_gx1, s_gy1, s_dvx1, s_dvy1, vs = fused(x1, vs)
+            reward = _instant_cost(x1)
+            return (x1, s_gx1, s_gy1, s_dvx1, s_dvy1, vs), {
+                "u": u,
+                "values": values,
+                "network": network,
+                "reward": reward,
+            }
+
+        (x_f, *_), traj = jax.lax.scan(
+            body,
+            (state.x, gx0, gy0, dvx0, dvy0, vs0),
+            jax.random.split(key, n_steps),
+        )
+        final = state.replace(x=x_f, time=state.time + n_steps)
+        return final, traj
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(n_agents=16384, max_steps=1000)

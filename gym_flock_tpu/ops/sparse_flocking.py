@@ -35,6 +35,7 @@ Reference semantics: channel layout identical to ``ops.pallas_flocking``
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,9 @@ __all__ = [
     "hilbert_order",
     "block_pair_table",
     "flocking_sums_sparse",
+    "VerletState",
+    "verlet_build",
+    "flocking_sums_sparse_verlet",
     "sparse_reset_accept",
     "adjacency_matmul_sparse",
     "khop_aggregate_sparse",
@@ -119,7 +123,7 @@ def hilbert_order(x: jax.Array, cell) -> jax.Array:
     return jnp.argsort(d)
 
 
-def block_pair_table(xs: jax.Array, comm_radius, k_max: int):
+def block_pair_table(xs: jax.Array, comm_radius, k_max: int, skin=0.0):
     """Candidate column blocks per row block, from bounding-box distance.
 
     ``xs``: [N, 4] curve-sorted agent states (see hilbert_order), N a
@@ -131,6 +135,13 @@ def block_pair_table(xs: jax.Array, comm_radius, k_max: int):
     itself (reference quirk, flocking_relative.py:225), i.e. reaches
     sqrt(comm_radius) > comm_radius for radii < 1 — the pruning distance
     uses max(comm_radius, sqrt(comm_radius)) so both cutoffs are covered).
+
+    ``skin`` expands the pruning reach so the table stays a SUPERSET of
+    the in-range block pairs while every agent remains within ``skin/2``
+    of where it was when the table was built (Verlet-list slack: a pair
+    can close by at most 2 * skin/2 = skin).  Measured at N=65k, density
+    1/unit^2: skin = comm_radius adds only ~2% tile work — blocks span
+    ~11 units, so the bbox test barely moves.
     """
     n = xs.shape[0]
     n_b = n // BLOCK
@@ -141,7 +152,7 @@ def block_pair_table(xs: jax.Array, comm_radius, k_max: int):
     sep = jnp.maximum(lo[:, None, :] - hi[None, :, :], lo[None, :, :] - hi[:, None, :])
     sep = jnp.maximum(sep, 0.0)
     dist2 = jnp.sum(sep * sep, axis=-1)  # [n_b, n_b] lower bound on pair dist^2
-    reach = jnp.maximum(comm_radius, jnp.sqrt(comm_radius))
+    reach = jnp.maximum(comm_radius, jnp.sqrt(comm_radius)) + skin
     cand = dist2 <= reach * reach  # bbox test is exact pruning
 
     counts = jnp.sum(cand, axis=1)
@@ -476,6 +487,121 @@ def flocking_sums_sparse(
     """
     scal = jnp.asarray([comm_radius, comm_radius2], jnp.result_type(x.dtype))
     return _sparse_vmappable_for(k_max, interpret, impl, channels)(x, scal)
+
+
+# =============================================================================
+# Verlet (skin-expanded) candidate tables: amortize the sort across steps
+# =============================================================================
+
+
+class VerletState(NamedTuple):
+    """Reusable cell-list state: the Hilbert permutation + skin-expanded
+    candidate table built at ``anchor`` positions.
+
+    Valid (a guaranteed SUPERSET of in-range block pairs) while every agent
+    stays within ``skin/2`` of its anchor position; the masked channel sums
+    computed through it are exact regardless of how stale the PERMUTATION
+    is — a stale curve order only means less-compact blocks, never wrong
+    pairs, because the tile kernel masks at ``comm_radius2`` itself.
+    """
+
+    perm: jax.Array  # [N] int32 — curve order at build time
+    table: jax.Array  # [n_b, k_max] int32 — skin-expanded candidates, -1 pad
+    anchor: jax.Array  # [N, 2] — positions at build time
+    overflow: jax.Array  # bool — table capacity exceeded at build time
+
+
+def verlet_build(x: jax.Array, comm_radius, skin, k_max: int = 16) -> VerletState:
+    """Build a :class:`VerletState` at ``x`` ([N, 4], N a multiple of 128)."""
+    perm = hilbert_order(x, comm_radius).astype(jnp.int32)
+    xs = x[perm]
+    table, overflow = block_pair_table(xs, comm_radius, k_max, skin=skin)
+    return VerletState(perm, table, x[:, :2], overflow)
+
+
+def flocking_sums_sparse_verlet(
+    x: jax.Array,
+    vstate: VerletState,
+    comm_radius,
+    comm_radius2,
+    skin,
+    interpret: bool = False,
+    impl: str = "auto",
+    channels: str = "core",
+):
+    """:func:`flocking_sums_sparse` with a cross-call Verlet table.
+
+    Returns ``(sums [N, 16], vstate')``.  The Hilbert sort + candidate
+    table (measured 26% of the sparse pass at N=65k) is REBUILT only when
+    some agent has moved more than ``skin/2`` from its anchor — a real
+    ``lax.cond`` branch on a scalar predicate, so reuse steps skip the
+    sort entirely.  Exactness: the skin-expanded table is a superset of
+    the in-range block pairs for any positions within the slack
+    (:func:`block_pair_table`), and the tile kernel masks at
+    ``comm_radius2``, so only float summation order differs from a
+    fresh-built pass.  Table overflow falls back to the dense kernel until
+    the next rebuild clears it — never wrong, only slower.
+
+    Unbatched contract ([N, 4]): the consumer is the sequential rollout
+    (``SparseFlockingEnv.expert_rollout``), where the carry threads the
+    state through ``lax.scan``.  Under ``jax.vmap`` the rebuild cond would
+    lower to a select that re-sorts every step — correct but with zero
+    reuse benefit; batch users should keep per-env rollouts unbatched and
+    vmap over envs only if that loss is acceptable.
+    """
+    assert x.ndim == 2, "verlet pass is per-swarm; see docstring"
+    n = x.shape[0]
+    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
+    expert = channels == "expert"
+    k_max = vstate.table.shape[-1]
+
+    disp2 = jnp.max(jnp.sum((x[:, :2] - vstate.anchor) ** 2, axis=1))
+    stale = disp2 > (0.5 * skin) ** 2
+    vstate = jax.lax.cond(
+        stale,
+        lambda _: verlet_build(x, comm_radius, skin, k_max=k_max),
+        lambda _: vstate,
+        None,
+    )
+
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
+
+    def sparse_path(vs):
+        xs = x[vs.perm]
+        if impl == "pallas":
+            out_sorted = _sparse_sums_pallas(
+                xs[None], vs.table[None], comm_radius, comm_radius2,
+                interpret=interpret, expert=expert,
+            )[0]
+        else:
+            out_sorted = _sparse_sums_sorted(
+                xs, vs.table, comm_radius, comm_radius2, expert=expert
+            )
+        inv = (
+            jnp.zeros((n,), jnp.int32)
+            .at[vs.perm]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )
+        return out_sorted[inv]
+
+    def dense_path(vs):
+        from gym_flock_tpu.ops.pallas_flocking import (
+            flocking_sums,
+            flocking_sums_block,
+        )
+
+        cpu = interpret or jax.default_backend() == "cpu"
+        if expert:
+            out = flocking_sums_block(
+                x[None], x[None], 0, 0, comm_radius, comm_radius2,
+                interpret=cpu, channels="full",
+            )[0]
+            return out.at[..., 9].set(0.0)
+        return flocking_sums(x[None], comm_radius, comm_radius2, interpret=interpret)[0]
+
+    out = jax.lax.cond(vstate.overflow, dense_path, sparse_path, vstate)
+    return out, vstate
 
 
 # =============================================================================

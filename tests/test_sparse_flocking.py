@@ -284,3 +284,105 @@ def test_sparse_adjacency_matmul_vmap_shared_operand():
         [adjacency_matmul_sparse(x0, hs[i], CR2) for i in range(3)]
     )
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
+
+
+# =============================================================================
+# Verlet (cross-call) candidate tables
+# =============================================================================
+
+
+def test_verlet_pass_matches_fresh_within_slack():
+    """With every agent within skin/2 of the anchor, the REUSED table must
+    reproduce a fresh-built sparse pass: degree exactly, sums to float
+    summation-order tolerance (the stale permutation groups pairs
+    differently)."""
+    from gym_flock_tpu.ops.sparse_flocking import (
+        flocking_sums_sparse_verlet,
+        verlet_build,
+    )
+
+    skin = CR
+    x0 = _swarm(jax.random.key(50), 512, 8.0)
+    vs0 = verlet_build(x0, CR, skin, k_max=16)
+
+    # move every agent by strictly less than skin/2 (worst case allowed)
+    step = jax.random.normal(jax.random.key(51), (512, 2), jnp.float32)
+    step = step / jnp.linalg.norm(step, axis=1, keepdims=True) * (0.49 * skin)
+    x1 = x0.at[:, :2].add(step)
+
+    got, vs1 = flocking_sums_sparse_verlet(x1, vs0, CR, CR2, skin)
+    # no rebuild happened: the anchor is still x0's
+    np.testing.assert_array_equal(np.asarray(vs1.anchor), np.asarray(x0[:, :2]))
+
+    want = flocking_sums_sparse(x1, CR, CR2, k_max=16)
+    np.testing.assert_array_equal(np.asarray(got[:, 8]), np.asarray(want[:, 8]))
+    scale = 1.0 + np.abs(np.asarray(want[:, :9]))
+    assert float(np.max(np.abs(np.asarray(got[:, :9] - want[:, :9])) / scale)) < 1e-4
+
+
+def test_verlet_rebuild_triggers_beyond_slack():
+    """One agent moving past skin/2 forces a rebuild: the anchor updates
+    and the result still matches a fresh pass."""
+    from gym_flock_tpu.ops.sparse_flocking import (
+        flocking_sums_sparse_verlet,
+        verlet_build,
+    )
+
+    skin = CR
+    x0 = _swarm(jax.random.key(52), 256, 6.0)
+    vs0 = verlet_build(x0, CR, skin, k_max=16)
+    x1 = x0.at[0, 0].add(0.51 * skin)
+
+    got, vs1 = flocking_sums_sparse_verlet(x1, vs0, CR, CR2, skin)
+    np.testing.assert_array_equal(np.asarray(vs1.anchor), np.asarray(x1[:, :2]))
+    want = flocking_sums_sparse(x1, CR, CR2, k_max=16)
+    np.testing.assert_array_equal(np.asarray(got[:, 8]), np.asarray(want[:, 8]))
+    scale = 1.0 + np.abs(np.asarray(want[:, :9]))
+    assert float(np.max(np.abs(np.asarray(got[:, :9] - want[:, :9])) / scale)) < 1e-4
+
+
+def test_verlet_overflow_falls_back_to_dense():
+    """A clustered swarm overflowing the verlet table must fall back to the
+    dense kernel (answers correct, never wrong)."""
+    from gym_flock_tpu.ops.sparse_flocking import (
+        flocking_sums_sparse_verlet,
+        verlet_build,
+    )
+
+    x = jax.random.normal(jax.random.key(53), (512, 4), jnp.float32) * 0.01
+    vs = verlet_build(x, CR, CR, k_max=2)
+    assert bool(vs.overflow)
+    got, _ = flocking_sums_sparse_verlet(x, vs, CR, CR2, CR)
+    want = flocking_sums(x, CR, CR2, interpret=True)[:, :9]
+    scale = 1.0 + np.abs(np.asarray(want))
+    assert float(np.max(np.abs(np.asarray(got[:, :9]) - np.asarray(want)) / scale)) < 1e-4
+
+
+@pytest.mark.parametrize("dt,centralized", [(0.01, True), (0.6, True), (0.01, False)])
+def test_verlet_rollout_matches_every_step_rebuild(dt, centralized):
+    """SparseFlockingEnv.expert_rollout with the Verlet table == the base
+    every-step-rebuild rollout.  dt=0.01 exercises pure REUSE (no agent
+    crosses skin/2 in 12 steps); dt=0.6 forces rebuilds nearly every step;
+    the decentralized case routes the expert through channels 10/11."""
+    import gym_flock_tpu as gft
+
+    env, params = gft.make(
+        "FlockingSparse-v0", n_agents=256, max_reset_tries=4, dt=dt,
+        centralized=centralized,
+    )
+    key = jax.random.key(7)
+    state, _ = env.reset_env(key, params)
+
+    base_params = params.replace(verlet_skin=0.0)  # every-step rebuild path
+    f_v, traj_v = env.expert_rollout(state, params, n_steps=12, key=key)
+    f_b, traj_b = env.expert_rollout(state, base_params, n_steps=12, key=key)
+
+    np.testing.assert_array_equal(
+        np.asarray(traj_v["network"]), np.asarray(traj_b["network"])
+    )
+    for k in ("u", "values", "reward"):
+        a, b = np.asarray(traj_v[k]), np.asarray(traj_b[k])
+        scale = 1.0 + np.abs(b)
+        assert float(np.max(np.abs(a - b) / scale)) < 1e-4, k
+    scale = 1.0 + np.abs(np.asarray(f_b.x))
+    assert float(np.max(np.abs(np.asarray(f_v.x) - np.asarray(f_b.x)) / scale)) < 1e-4
