@@ -37,8 +37,11 @@ def bench_flocking(n_steps: int) -> float:
     env = make_legacy("FlockingRelative-v0", n_agents=100)
     env.seed(0)
     env.reset()
-    # warmup: compile controller + step
-    for _ in range(3):
+    # warmup: compile controller + step AND the K-deep speculative pipeline
+    # (the deep lax.scan program only builds after the first fully-drained
+    # queue; its compile must land outside the timed region — the reference
+    # baseline is likewise a steady-state rate, BASELINE.md)
+    for _ in range(3 + 2 * env._SPEC_DEPTH_MAX):
         u = env.controller()
         env.step(u)
     t0 = time.perf_counter()
@@ -54,9 +57,14 @@ def bench_coverage(n_steps: int) -> float:
     env = make_legacy("Coverage-v0")
     env.seed(0)
     env.reset()
-    for _ in range(3):
+    # warmup through the deep-pipeline compile (see bench_flocking), crossing
+    # at least one episode boundary so the post-reset shallow rebuild is
+    # compiled too
+    for _ in range(3 + 2 * env._SPEC_DEPTH_MAX + 80):
         a = env.controller(greedy=True)
-        env.step(a)
+        _, _, d, _ = env.step(a)
+        if d:
+            env.reset()
     done_count = 0
     t0 = time.perf_counter()
     for _ in range(n_steps):
