@@ -89,6 +89,10 @@ class CoverageParams:
     # reversed tail duplicates carrying negated diffs; motion rows keep raw
     # (unnormalized) values like the dist quirk, tail rows are / res.
     pos_delta: bool = struct.field(pytree_node=False, default=False)
+    # greedy-expert cost-row routing: None = auto (backend/robot-count
+    # heuristic in _mm_expert_active), True/False forces the MXU one-hot
+    # matmul / the row gather
+    expert_mm: bool | None = struct.field(pytree_node=False, default=None)
     # --- dynamic ---
     frac_active_targets: float = 0.5
     res: float = DELTA
@@ -141,13 +145,22 @@ def _safe_gather(vec: jax.Array, idx: jax.Array, fill=0.0) -> jax.Array:
 
 def _mm_expert_active(params) -> bool:
     """Static predicate: the MXU greedy-expert path is in use (see
-    :func:`_greedy_cost_rows`).  Engages for any bank size whose flattened
-    one-hot width G*T stays MXU-reasonable; at R < 16 the one-hot staging
-    overhead beats the gather's duplication win."""
+    :func:`_greedy_cost_rows`).
+
+    On accelerator backends the one-hot matmul engages at ANY robot count:
+    a vmapped env batch flattens into one [B*R, G*T] x [G*T, T] dot whose
+    operand stays resident, and the duplication win dominates (measured
+    +54% end-to-end at R=6, B=8192 — the batch has only G*T distinct rows).
+    On the host backend (the legacy single-stream loop, B=1) the per-call
+    operand read loses at small R, so the R >= 16 gate stays there.
+    """
     mm = params.bank.get("graph_cost_mm")
+    if mm is None:
+        return False
+    if params.expert_mm is not None:
+        return params.expert_mm
     return (
-        mm is not None
-        and params.n_robots >= 16
+        (params.n_robots >= 16 or jax.default_backend() != "cpu")
         # single-graph banks always qualify (the original 1.7x case);
         # multi-graph banks are bounded by the flattened one-hot width
         and (mm.shape[0] == 1 or mm.shape[0] * mm.shape[1] <= 8192)

@@ -233,3 +233,26 @@ def test_multi_graph_mm_expert_matches_gather():
             u_gather = env.controller(state, params_nomm, key=kt, greedy=True)
             np.testing.assert_array_equal(np.asarray(u_mm), np.asarray(u_gather))
             state, _, _, _, _ = env.step_env(kt, state, u_mm, params)
+
+
+def test_small_r_mm_expert_matches_gather():
+    """The MXU one-hot cost-row path now engages at ANY robot count on
+    accelerator backends (a vmapped batch flattens into one big dot with
+    only G*T distinct rows; measured +54% end-to-end at R=6, B=8192).
+    CPU tests can't trip the backend heuristic, so force it with
+    ``expert_mm=True`` and pin action equality at the default R=6."""
+    from gym_flock_tpu.envs.coverage import _mm_expert_active
+
+    env, params = gft.make("Coverage-v0", n_graphs=4, expert_mm=True)
+    assert _mm_expert_active(params)
+    params_gather = params.replace(expert_mm=False)
+    assert not _mm_expert_active(params_gather)
+
+    key = jax.random.key(11)
+    state, _ = env.reset_env(key, params)
+    for t in range(10):
+        kt = jax.random.key(200 + t)
+        u_mm = env.controller(state, params, key=kt, greedy=True)
+        u_gather = env.controller(state, params_gather, key=kt, greedy=True)
+        np.testing.assert_array_equal(np.asarray(u_mm), np.asarray(u_gather))
+        state, _, _, _, _ = env.step_env(kt, state, u_mm, params)
