@@ -81,8 +81,9 @@ class FlockingParams:
     # SparseFlockingEnv rollouts: Verlet slack distance (the Hilbert sort +
     # candidate table rebuild only when an agent moved > skin/2 since the
     # last build — ops.sparse_flocking.flocking_sums_sparse_verlet).  None
-    # resolves to comm_radius; 0 disables reuse (rebuild every step).
-    # Static: gates a Python-level branch in expert_rollout.
+    # resolves to the dynamic comm_radius; <= 0 disables reuse (rebuild
+    # every step).  Static: only this field (never the resolved value)
+    # gates the Python-level branch, so params may be a traced argument.
     verlet_skin: float | None = struct.field(pytree_node=False, default=None)
 
     # --- dynamic ---
@@ -500,6 +501,20 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
             x, params, centralized, self._obstacle_mask(params)
         )
 
+    def _fused_carry_init(self, x: jax.Array, params: FlockingParams):
+        """Optional cross-step state threaded through the fused rollout scan.
+
+        ``None`` (an empty pytree) for the dense variants; the sparse env
+        returns a ``VerletState`` so the Hilbert sort is rebuilt only on
+        drift."""
+        return None
+
+    def _fused_pass_carry(self, x, params, centralized, carry):
+        """Carry-aware fused pass: ``((values, network, gx, gy, dvx, dvy),
+        carry')``.  Variants with cross-step kernel state override this
+        pair of hooks instead of duplicating the rollout scan."""
+        return self._fused_pass(x, params, centralized), carry
+
     def expert_rollout(
         self,
         state: FlockingState,
@@ -538,18 +553,21 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
         if key is None:
             key = jax.random.key(0)
 
-        _, _, gx0, gy0, dvx0, dvy0 = self._fused_pass(state.x, params, centralized)
+        fc0 = self._fused_carry_init(state.x, params)
+        (_, _, gx0, gy0, dvx0, dvy0), fc0 = self._fused_pass_carry(
+            state.x, params, centralized, fc0
+        )
 
         def body(carry, key_t):
-            x, s_gx, s_gy, s_dvx, s_dvy = carry
+            x, s_gx, s_gy, s_dvx, s_dvy, fc = carry
             controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
             u = self._rollout_action(controls, params)
             x1 = self._rollout_integrate(x, u, params, key_t)
-            values, network, s_gx1, s_gy1, s_dvx1, s_dvy1 = self._fused_pass(
-                x1, params, centralized
+            (values, network, s_gx1, s_gy1, s_dvx1, s_dvy1), fc = (
+                self._fused_pass_carry(x1, params, centralized, fc)
             )
             reward = _instant_cost(x1)
-            return (x1, s_gx1, s_gy1, s_dvx1, s_dvy1), {
+            return (x1, s_gx1, s_gy1, s_dvx1, s_dvy1, fc), {
                 "u": u,
                 "values": values,
                 "network": network,
@@ -557,7 +575,9 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
             }
 
         (x_f, *_), traj = jax.lax.scan(
-            body, (state.x, gx0, gy0, dvx0, dvy0), jax.random.split(key, n_steps)
+            body,
+            (state.x, gx0, gy0, dvx0, dvy0, fc0),
+            jax.random.split(key, n_steps),
         )
         final = state.replace(x=x_f, time=state.time + n_steps)
         return final, traj
@@ -945,83 +965,59 @@ class SparseFlockingEnv(LargeFlockingEnv):
         controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
         return jnp.clip(controls, -10.0, 10.0) / params.action_scalar
 
-    def expert_rollout(
-        self,
-        state: FlockingState,
-        params: FlockingParams,
-        n_steps: int,
-        centralized: bool | None = None,
-        key: jax.Array | None = None,
-    ):
-        """Fused rollout with a cross-STEP Verlet table.
+    # ------------------------------------------- cross-step Verlet rollout
+    # The fused rollout scan itself lives in the base class; the sparse env
+    # only supplies the carry hooks: a skin-expanded candidate table
+    # (26% of the sparse pass at N=65k, measured) carried through the scan
+    # and rebuilt only when an agent has moved more than ``verlet_skin/2``
+    # since the last build — see ops.sparse_flocking.flocking_sums_sparse_verlet
+    # for the exactness argument.  ``params.verlet_skin=0`` recovers the
+    # every-step rebuild (the base behavior).
 
-        On top of the base one-pass-per-step fusion, the Hilbert sort +
-        candidate table (26% of the sparse pass at N=65k, measured) is
-        carried through the scan and rebuilt only when an agent has moved
-        more than ``verlet_skin/2`` since the last build — see
-        :func:`gym_flock_tpu.ops.sparse_flocking.flocking_sums_sparse_verlet`
-        for the exactness argument.  ``params.verlet_skin=0`` recovers the
-        every-step rebuild (the base behavior).
-        """
-        from gym_flock_tpu.ops.sparse_flocking import (
-            BLOCK,
-            flocking_sums_sparse_verlet,
-            verlet_build,
-        )
+    def _verlet_skin(self, params: FlockingParams):
+        """Resolved Verlet slack, or ``None`` when reuse is disabled.
 
-        skin = params.verlet_skin
+        Gating decisions read ONLY static fields (``params.verlet_skin``,
+        ``params.n_agents``) so this is safe with ``params`` as a traced
+        jit/vmap argument; the resolved VALUE may be the dynamic
+        ``comm_radius`` (the ``verlet_skin=None`` default)."""
+        from gym_flock_tpu.ops.sparse_flocking import BLOCK
+
+        cfg = params.verlet_skin
+        if cfg is not None and cfg <= 0.0:
+            return None
+        if params.n_agents % BLOCK != 0:
+            return None
+        return params.comm_radius if cfg is None else cfg
+
+    def _fused_carry_init(self, x, params):
+        from gym_flock_tpu.ops.sparse_flocking import verlet_build
+
+        skin = self._verlet_skin(params)
         if skin is None:
-            skin = params.comm_radius
-        if skin <= 0.0 or params.n_agents % BLOCK != 0:
-            return super().expert_rollout(
-                state, params, n_steps, centralized=centralized, key=key
-            )
-        if centralized is None:
-            centralized = params.centralized
-        if key is None:
-            key = jax.random.key(0)
-        channels = "core" if centralized else "expert"
+            return None
+        return verlet_build(x, params.comm_radius, skin)
 
-        def fused(x, vs):
-            s, vs = flocking_sums_sparse_verlet(
-                x, vs, params.comm_radius, params.comm_radius2, skin,
-                channels=channels,
-            )
-            values, network = s[..., 0:6], s[..., 8]
-            if centralized:
-                n = x.shape[0]
-                gx, gy = s[..., 6], s[..., 7]
-                dvx = n * x[:, 2] - jnp.sum(x[:, 2])
-                dvy = n * x[:, 3] - jnp.sum(x[:, 3])
-            else:
-                gx, gy = s[..., 10], s[..., 11]
-                dvx, dvy = s[..., 0], s[..., 3]
-            return values, network, gx, gy, dvx, dvy, vs
+    def _fused_pass_carry(self, x, params, centralized, carry):
+        if carry is None:  # reuse disabled: per-step rebuild via _fused_pass
+            return super()._fused_pass_carry(x, params, centralized, carry)
+        from gym_flock_tpu.ops.sparse_flocking import flocking_sums_sparse_verlet
 
-        vs0 = verlet_build(state.x, params.comm_radius, skin)
-        _, _, gx0, gy0, dvx0, dvy0, vs0 = fused(state.x, vs0)
-
-        def body(carry, key_t):
-            x, s_gx, s_gy, s_dvx, s_dvy, vs = carry
-            controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
-            u = self._rollout_action(controls, params)
-            x1 = self._rollout_integrate(x, u, params, key_t)
-            values, network, s_gx1, s_gy1, s_dvx1, s_dvy1, vs = fused(x1, vs)
-            reward = _instant_cost(x1)
-            return (x1, s_gx1, s_gy1, s_dvx1, s_dvy1, vs), {
-                "u": u,
-                "values": values,
-                "network": network,
-                "reward": reward,
-            }
-
-        (x_f, *_), traj = jax.lax.scan(
-            body,
-            (state.x, gx0, gy0, dvx0, dvy0, vs0),
-            jax.random.split(key, n_steps),
+        s, carry = flocking_sums_sparse_verlet(
+            x, carry, params.comm_radius, params.comm_radius2,
+            self._verlet_skin(params),
+            channels="core" if centralized else "expert",
         )
-        final = state.replace(x=x_f, time=state.time + n_steps)
-        return final, traj
+        values, network = s[..., 0:6], s[..., 8]
+        if centralized:
+            n = x.shape[0]
+            gx, gy = s[..., 6], s[..., 7]
+            dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+            dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+        else:
+            gx, gy = s[..., 10], s[..., 11]
+            dvx, dvy = s[..., 0], s[..., 3]
+        return (values, network, gx, gy, dvx, dvy), carry
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(n_agents=16384, max_steps=1000)

@@ -349,6 +349,60 @@ def _sparse_sums_pallas(xs: jax.Array, table: jax.Array, comm_radius, comm_radiu
     return out
 
 
+def _resolve_impl(impl: str, interpret: bool) -> str:
+    if impl == "auto":
+        return "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
+    return impl
+
+
+def _sparse_path_batched(xs, perm, table, comm_radius, comm_radius2,
+                         impl, interpret, expert):
+    """Table-driven channel sums in sorted order, scattered back.
+
+    All operands batched ([B, N, 4] / [B, N] / [B, n_b, k]); shared by
+    :func:`_flocking_sums_sparse_impl` and the Verlet pass so the two can
+    never diverge.
+    """
+    n = xs.shape[1]
+    if impl == "pallas":
+        out_sorted = _sparse_sums_pallas(
+            xs, table, comm_radius, comm_radius2, interpret=interpret,
+            expert=expert,
+        )
+    else:
+        out_sorted = jax.vmap(
+            lambda xsi, tablei: _sparse_sums_sorted(
+                xsi, tablei, comm_radius, comm_radius2, expert=expert
+            )
+        )(xs, table)
+
+    def unsort(permi, outi):
+        inv = (
+            jnp.zeros((n,), jnp.int32)
+            .at[permi]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )
+        return outi[inv]
+
+    return jax.vmap(unsort)(perm, out_sorted)
+
+
+def _dense_path_batched(xb, comm_radius, comm_radius2, interpret, expert):
+    """Dense-kernel fallback with the sparse channel contract ([B, N, 4])."""
+    from gym_flock_tpu.ops.pallas_flocking import flocking_sums, flocking_sums_block
+
+    if expert:
+        # "full" includes the masked-grad channels 10/11; ch9 (min-r2)
+        # is zeroed — it is not part of the sparse contract
+        out = flocking_sums_block(
+            xb, xb, 0, 0, comm_radius, comm_radius2,
+            interpret=interpret or jax.default_backend() == "cpu",
+            channels="full",
+        )
+        return out.at[..., 9].set(0.0)
+    return flocking_sums(xb, comm_radius, comm_radius2, interpret=interpret)
+
+
 def _flocking_sums_sparse_impl(
     x: jax.Array,
     comm_radius,
@@ -358,8 +412,6 @@ def _flocking_sums_sparse_impl(
     impl: str = "auto",
     channels: str = "core",
 ):
-    from gym_flock_tpu.ops.pallas_flocking import flocking_sums, flocking_sums_block
-
     expert = channels == "expert"
 
     squeeze = x.ndim == 2
@@ -375,44 +427,17 @@ def _flocking_sums_sparse_impl(
 
     xs, perm, table, overflow = jax.vmap(prep)(xb)
 
-    if impl == "auto":
-        impl = "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
+    impl = _resolve_impl(impl, interpret)
 
     def sparse_path(operands):
         xs_, perm_, table_ = operands
-        if impl == "pallas":
-            out_sorted = _sparse_sums_pallas(
-                xs_, table_, comm_radius, comm_radius2, interpret=interpret,
-                expert=expert,
-            )
-        else:
-            out_sorted = jax.vmap(
-                lambda xsi, tablei: _sparse_sums_sorted(
-                    xsi, tablei, comm_radius, comm_radius2, expert=expert
-                )
-            )(xs_, table_)
-
-        def unsort(permi, outi):
-            inv = (
-                jnp.zeros((n,), jnp.int32)
-                .at[permi]
-                .set(jnp.arange(n, dtype=jnp.int32))
-            )
-            return outi[inv]
-
-        return jax.vmap(unsort)(perm_, out_sorted)
+        return _sparse_path_batched(
+            xs_, perm_, table_, comm_radius, comm_radius2, impl, interpret,
+            expert,
+        )
 
     def dense_path(operands):
-        if expert:
-            # "full" includes the masked-grad channels 10/11; ch9 (min-r2)
-            # is zeroed — it is not part of the sparse contract
-            out = flocking_sums_block(
-                xb, xb, 0, 0, comm_radius, comm_radius2,
-                interpret=interpret or jax.default_backend() == "cpu",
-                channels="full",
-            )
-            return out.at[..., 9].set(0.0)
-        return flocking_sums(xb, comm_radius, comm_radius2, interpret=interpret)
+        return _dense_path_batched(xb, comm_radius, comm_radius2, interpret, expert)
 
     # the predicate is a batch-wide SCALAR: under vmap a per-env cond
     # lowers to a select that executes BOTH paths for every env — one
@@ -519,6 +544,115 @@ def verlet_build(x: jax.Array, comm_radius, skin, k_max: int = 16) -> VerletStat
     return VerletState(perm, table, x[:, :2], overflow)
 
 
+def _flocking_sums_sparse_verlet_impl(
+    x: jax.Array,
+    vstate: VerletState,
+    comm_radius,
+    comm_radius2,
+    skin,
+    interpret: bool = False,
+    impl: str = "auto",
+    channels: str = "core",
+):
+    """Natively batched Verlet pass: [B, N, 4] (or [N, 4]) positions plus a
+    VerletState batched along the same leading axis.
+
+    Mirrors :func:`_flocking_sums_sparse_impl`'s batch discipline: both the
+    rebuild predicate and the overflow fallback are batch-wide SCALAR
+    ``lax.cond`` branches (one drifted env rebuilds the whole batch — a
+    rebuild is always valid, so this is conservative, never wrong), and the
+    sparse channel sums run through the shared :func:`_sparse_path_batched`
+    as ONE kernel over the batch.
+    """
+    expert = channels == "expert"
+    squeeze = x.ndim == 2
+    xb = x[None] if squeeze else x
+    vb = jax.tree.map(lambda l: l[None], vstate) if squeeze else vstate
+    n = xb.shape[1]
+    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
+    k_max = vb.table.shape[-1]
+
+    disp2 = jnp.max(jnp.sum((xb[:, :, :2] - vb.anchor) ** 2, axis=-1))
+    stale = disp2 > (0.5 * skin) ** 2
+    vb = jax.lax.cond(
+        stale,
+        lambda _: jax.vmap(
+            lambda xi: verlet_build(xi, comm_radius, skin, k_max=k_max)
+        )(xb),
+        lambda _: vb,
+        None,
+    )
+
+    impl = _resolve_impl(impl, interpret)
+
+    def sparse_path(vb_):
+        xs = jnp.take_along_axis(xb, vb_.perm[..., None], axis=1)
+        return _sparse_path_batched(
+            xs, vb_.perm, vb_.table, comm_radius, comm_radius2, impl,
+            interpret, expert,
+        )
+
+    def dense_path(vb_):
+        return _dense_path_batched(xb, comm_radius, comm_radius2, interpret, expert)
+
+    out = jax.lax.cond(jnp.any(vb.overflow), dense_path, sparse_path, vb)
+    if squeeze:
+        return out[0], jax.tree.map(lambda l: l[0], vb)
+    return out, vb
+
+
+def _make_verlet_vmappable(interpret, impl, channels):
+    kw = dict(interpret=interpret, impl=impl, channels=channels)
+
+    @jax.custom_batching.custom_vmap
+    def f(x, vstate, scal):
+        return _flocking_sums_sparse_verlet_impl(
+            x, vstate, scal[0], scal[1], scal[2], **kw
+        )
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, x, vstate, scal):
+        # route vmap to the NATIVE batch handling (same rationale as
+        # _make_sparse_vmappable: keep the rebuild/overflow conds real
+        # scalar branches and the Pallas pass one program for the batch —
+        # vmapping the plain form select-executes the dense O(N^2) pass
+        # AND a full re-sort every call, per lane)
+        x_b, vs_b, scal_b = in_batched
+        assert not scal_b, "vmap over radii/skin unsupported; close over them"
+        assert all(l == x_b for l in jax.tree.leaves(vs_b)), (
+            "x and vstate must be batched together"
+        )
+        batched = x_b and x.ndim > 2
+        if batched and x.ndim > 3:
+            lead = x.shape[:-2]
+            nd = len(lead)
+            flat = lambda l: l.reshape((-1,) + l.shape[nd:])
+            out, vs = _flocking_sums_sparse_verlet_impl(
+                flat(x), jax.tree.map(flat, vstate),
+                scal[0], scal[1], scal[2], **kw,
+            )
+            out = out.reshape(lead + out.shape[1:])
+            vs = jax.tree.map(lambda l: l.reshape(lead + l.shape[1:]), vs)
+        else:
+            out, vs = _flocking_sums_sparse_verlet_impl(
+                x, vstate, scal[0], scal[1], scal[2], **kw
+            )
+        res = (out, vs)
+        return res, jax.tree.map(lambda _: batched, res)
+
+    return f
+
+
+_VERLET_VMAPPABLE_CACHE = {}
+
+
+def _verlet_vmappable_for(interpret, impl, channels):
+    key = (interpret, impl, channels)
+    if key not in _VERLET_VMAPPABLE_CACHE:
+        _VERLET_VMAPPABLE_CACHE[key] = _make_verlet_vmappable(*key)
+    return _VERLET_VMAPPABLE_CACHE[key]
+
+
 def flocking_sums_sparse_verlet(
     x: jax.Array,
     vstate: VerletState,
@@ -531,7 +665,7 @@ def flocking_sums_sparse_verlet(
 ):
     """:func:`flocking_sums_sparse` with a cross-call Verlet table.
 
-    Returns ``(sums [N, 16], vstate')``.  The Hilbert sort + candidate
+    Returns ``(sums [.., N, 16], vstate')``.  The Hilbert sort + candidate
     table (measured 26% of the sparse pass at N=65k) is REBUILT only when
     some agent has moved more than ``skin/2`` from its anchor — a real
     ``lax.cond`` branch on a scalar predicate, so reuse steps skip the
@@ -542,66 +676,18 @@ def flocking_sums_sparse_verlet(
     fresh-built pass.  Table overflow falls back to the dense kernel until
     the next rebuild clears it — never wrong, only slower.
 
-    Unbatched contract ([N, 4]): the consumer is the sequential rollout
-    (``SparseFlockingEnv.expert_rollout``), where the carry threads the
-    state through ``lax.scan``.  Under ``jax.vmap`` the rebuild cond would
-    lower to a select that re-sorts every step — correct but with zero
-    reuse benefit; batch users should keep per-env rollouts unbatched and
-    vmap over envs only if that loss is acceptable.
+    Accepts [N, 4] (the sequential rollout carry threads the state through
+    ``lax.scan`` — ``SparseFlockingEnv.expert_rollout``) or [B, N, 4] with
+    a matching batched state.  A ``custom_vmap`` rule routes ``jax.vmap``
+    (e.g. ``parallel.batch_expert_rollout``) into the native batched form,
+    where rebuild/overflow stay batch-wide scalar branches (one drifted env
+    rebuilds all — conservative, never wrong) and the Pallas pass compiles
+    ONCE for the batch.
     """
-    assert x.ndim == 2, "verlet pass is per-swarm; see docstring"
-    n = x.shape[0]
-    assert n % BLOCK == 0, f"N must be a multiple of {BLOCK} (pad the swarm)"
-    expert = channels == "expert"
-    k_max = vstate.table.shape[-1]
-
-    disp2 = jnp.max(jnp.sum((x[:, :2] - vstate.anchor) ** 2, axis=1))
-    stale = disp2 > (0.5 * skin) ** 2
-    vstate = jax.lax.cond(
-        stale,
-        lambda _: verlet_build(x, comm_radius, skin, k_max=k_max),
-        lambda _: vstate,
-        None,
+    scal = jnp.asarray(
+        [comm_radius, comm_radius2, skin], jnp.result_type(x.dtype)
     )
-
-    if impl == "auto":
-        impl = "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
-
-    def sparse_path(vs):
-        xs = x[vs.perm]
-        if impl == "pallas":
-            out_sorted = _sparse_sums_pallas(
-                xs[None], vs.table[None], comm_radius, comm_radius2,
-                interpret=interpret, expert=expert,
-            )[0]
-        else:
-            out_sorted = _sparse_sums_sorted(
-                xs, vs.table, comm_radius, comm_radius2, expert=expert
-            )
-        inv = (
-            jnp.zeros((n,), jnp.int32)
-            .at[vs.perm]
-            .set(jnp.arange(n, dtype=jnp.int32))
-        )
-        return out_sorted[inv]
-
-    def dense_path(vs):
-        from gym_flock_tpu.ops.pallas_flocking import (
-            flocking_sums,
-            flocking_sums_block,
-        )
-
-        cpu = interpret or jax.default_backend() == "cpu"
-        if expert:
-            out = flocking_sums_block(
-                x[None], x[None], 0, 0, comm_radius, comm_radius2,
-                interpret=cpu, channels="full",
-            )[0]
-            return out.at[..., 9].set(0.0)
-        return flocking_sums(x[None], comm_radius, comm_radius2, interpret=interpret)[0]
-
-    out = jax.lax.cond(vstate.overflow, dense_path, sparse_path, vstate)
-    return out, vstate
+    return _verlet_vmappable_for(interpret, impl, channels)(x, vstate, scal)
 
 
 # =============================================================================

@@ -386,3 +386,77 @@ def test_verlet_rollout_matches_every_step_rebuild(dt, centralized):
         assert float(np.max(np.abs(a - b) / scale)) < 1e-4, k
     scale = 1.0 + np.abs(np.asarray(f_b.x))
     assert float(np.max(np.abs(np.asarray(f_v.x) - np.asarray(f_b.x)) / scale)) < 1e-4
+
+
+def test_verlet_pass_vmap_routes_native_batch():
+    """jax.vmap of the unbatched verlet pass must route to the native
+    batched impl (custom_vmap): results match per-env calls, and the
+    returned state stays per-env."""
+    from gym_flock_tpu.ops.sparse_flocking import (
+        flocking_sums_sparse_verlet,
+        verlet_build,
+    )
+
+    skin = CR
+    xs = jax.vmap(lambda k: _swarm(k, 256, 6.0))(
+        jax.random.split(jax.random.key(60), 2)
+    )
+    vss = jax.vmap(lambda x: verlet_build(x, CR, skin, k_max=16))(xs)
+
+    got, vs1 = jax.vmap(
+        lambda x, vs: flocking_sums_sparse_verlet(x, vs, CR, CR2, skin)
+    )(xs, vss)
+    assert got.shape == (2, 256, 16)
+    assert vs1.perm.shape == (2, 256)
+
+    for i in range(2):
+        want_i, _ = flocking_sums_sparse_verlet(
+            xs[i], jax.tree.map(lambda l: l[i], vss), CR, CR2, skin
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[i, :, 8]), np.asarray(want_i[:, 8])
+        )
+        scale = 1.0 + np.abs(np.asarray(want_i[:, :9]))
+        assert (
+            float(
+                np.max(np.abs(np.asarray(got[i, :, :9] - want_i[:, :9])) / scale)
+            )
+            < 1e-4
+        )
+
+
+def test_batch_expert_rollout_sparse_verlet():
+    """parallel.batch_expert_rollout over the sparse env with the Verlet
+    table enabled (the review's headline regression: the unprotected pass
+    select-executed the dense fallback and re-sorted per step per lane)."""
+    import gym_flock_tpu as gft
+    from gym_flock_tpu.parallel import batch_expert_rollout
+
+    env, params = gft.make("FlockingSparse-v0", n_agents=128, max_reset_tries=4)
+    key = jax.random.key(8)
+    finals, traj = batch_expert_rollout(env, params, key, n_envs=2, n_steps=3)
+    assert traj["u"].shape == (2, 3, 128, 2)
+
+    # matches per-env rollouts (identical key split as batch_expert_rollout)
+    keys = jax.random.split(key, 2)
+    for i in range(2):
+        k_reset, k_roll = jax.random.split(keys[i])
+        state, _ = env.reset_env(k_reset, params)
+        _, traj_i = env.expert_rollout(state, params, 3, key=k_roll)
+        a, b = np.asarray(traj["u"][i]), np.asarray(traj_i["u"])
+        scale = 1.0 + np.abs(b)
+        assert float(np.max(np.abs(a - b) / scale)) < 1e-4
+
+
+def test_sparse_expert_rollout_params_traced():
+    """params may be a traced jit argument: the verlet gating branches only
+    on STATIC fields (the old code crashed at `if skin <= 0.0` with the
+    dynamic comm_radius resolved as the skin)."""
+    import gym_flock_tpu as gft
+
+    env, params = gft.make("FlockingSparse-v0", n_agents=128, max_reset_tries=4)
+    state, _ = env.reset_env(jax.random.key(9), params)
+
+    f = jax.jit(lambda s, p: env.expert_rollout(s, p, 3))
+    final, traj = f(state, params)
+    assert traj["u"].shape == (3, 128, 2)
