@@ -151,8 +151,11 @@ def _mm_expert_active(params) -> bool:
     a vmapped env batch flattens into one [B*R, G*T] x [G*T, T] dot whose
     operand stays resident, and the duplication win dominates (measured
     +54% end-to-end at R=6, B=8192 — the batch has only G*T distinct rows).
-    On the host backend (the legacy single-stream loop, B=1) the per-call
-    operand read loses at small R, so the R >= 16 gate stays there.
+    Unbatched small-R on the TPU is a tie (measured B=1, R=6, G=4: 6,728
+    steps/s mm vs 6,670 gather — the row gather is itself slow there), so
+    batch-awareness is not needed.  On the host backend (the legacy
+    single-stream loop, B=1) the per-call operand read loses at small R,
+    so the R >= 16 gate stays there.
     """
     mm = params.bank.get("graph_cost_mm")
     if mm is None:

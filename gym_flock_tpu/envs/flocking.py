@@ -892,19 +892,33 @@ class LargeFlockingEnv(FlockingRelativeEnv):
             interpret=jax.default_backend() == "cpu", channels="full",
         )
 
-    def _fused_pass(self, x, params, centralized):
-        # flocking_sums already produces obs AND expert channels in one
-        # blockwise pass (0-5 features, 6-7 potential-grad sums, 8 degree);
-        # centralized velocity-difference sums collapse to the closed form,
-        # decentralized ones ARE feature channels 0/3
-        n = x.shape[0]
+    def _unpack_sums(self, s, x, centralized):
+        """``(values, network, gx, gy, dvx, dvy)`` from one 16-channel sums
+        tensor (the SINGLE owner of the channel layout — the blockwise and
+        cell-list kernels share it):
+
+        0-5 obs features, 8 degree; 6/7 potential-grad sums (centralized
+        expert) or 10/11 adjacency-masked grad sums (decentralized,
+        reference flocking_relative.py:201-207).  Centralized velocity-
+        difference sums collapse to the closed form; decentralized ones ARE
+        feature channels 0/3.
+        """
+        values, network = s[..., 0:6], s[..., 8]
         if centralized:
-            s = self._sums(x, params)
-            s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
-            s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
-            return s[..., 0:6], s[..., 8], s[..., 6], s[..., 7], s_dvx, s_dvy
-        s = self._sums(x, params, channels="expert")
-        return s[..., 0:6], s[..., 8], s[..., 10], s[..., 11], s[..., 0], s[..., 3]
+            n = x.shape[0]
+            gx, gy = s[..., 6], s[..., 7]
+            dvx = n * x[:, 2] - jnp.sum(x[:, 2])
+            dvy = n * x[:, 3] - jnp.sum(x[:, 3])
+        else:
+            gx, gy = s[..., 10], s[..., 11]
+            dvx, dvy = s[..., 0], s[..., 3]
+        return values, network, gx, gy, dvx, dvy
+
+    def _fused_pass(self, x, params, centralized):
+        # flocking_sums produces obs AND expert channels in one blockwise
+        # pass; see _unpack_sums for the layout
+        s = self._sums(x, params, channels="core" if centralized else "expert")
+        return self._unpack_sums(s, x, centralized)
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(n_agents=4096, max_steps=1000)
@@ -949,19 +963,8 @@ class SparseFlockingEnv(LargeFlockingEnv):
         if centralized is None:
             centralized = params.centralized
         x = state.x
-        if centralized:
-            s = self._sums(x, params)
-            n = x.shape[0]
-            s_gx, s_gy = s[..., 6], s[..., 7]
-            s_dvx = n * x[:, 2] - jnp.sum(x[:, 2])
-            s_dvy = n * x[:, 3] - jnp.sum(x[:, 3])
-        else:
-            # decentralized (reference flocking_relative.py:201-207): both
-            # terms adjacency-masked — channels 0/3 and the sparse expert
-            # channels 10/11
-            s = self._sums(x, params, channels="expert")
-            s_gx, s_gy = s[..., 10], s[..., 11]
-            s_dvx, s_dvy = s[..., 0], s[..., 3]
+        s = self._sums(x, params, channels="core" if centralized else "expert")
+        _, _, s_gx, s_gy, s_dvx, s_dvy = self._unpack_sums(s, x, centralized)
         controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
         return jnp.clip(controls, -10.0, 10.0) / params.action_scalar
 
@@ -1008,16 +1011,7 @@ class SparseFlockingEnv(LargeFlockingEnv):
             self._verlet_skin(params),
             channels="core" if centralized else "expert",
         )
-        values, network = s[..., 0:6], s[..., 8]
-        if centralized:
-            n = x.shape[0]
-            gx, gy = s[..., 6], s[..., 7]
-            dvx = n * x[:, 2] - jnp.sum(x[:, 2])
-            dvy = n * x[:, 3] - jnp.sum(x[:, 3])
-        else:
-            gx, gy = s[..., 10], s[..., 11]
-            dvx, dvy = s[..., 0], s[..., 3]
-        return (values, network, gx, gy, dvx, dvy), carry
+        return self._unpack_sums(s, x, centralized), carry
 
     def default_params(self) -> FlockingParams:
         return FlockingParams(n_agents=16384, max_steps=1000)

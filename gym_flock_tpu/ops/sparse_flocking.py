@@ -536,6 +536,7 @@ class VerletState(NamedTuple):
     overflow: jax.Array  # bool — table capacity exceeded at build time
 
 
+@functools.partial(jax.jit, static_argnames=("k_max",))
 def verlet_build(x: jax.Array, comm_radius, skin, k_max: int = 16) -> VerletState:
     """Build a :class:`VerletState` at ``x`` ([N, 4], N a multiple of 128)."""
     perm = hilbert_order(x, comm_radius).astype(jnp.int32)
@@ -653,6 +654,7 @@ def _verlet_vmappable_for(interpret, impl, channels):
     return _VERLET_VMAPPABLE_CACHE[key]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret", "impl", "channels"))
 def flocking_sums_sparse_verlet(
     x: jax.Array,
     vstate: VerletState,

@@ -460,3 +460,30 @@ def test_sparse_expert_rollout_params_traced():
     f = jax.jit(lambda s, p: env.expert_rollout(s, p, 3))
     final, traj = f(state, params)
     assert traj["u"].shape == (3, 128, 2)
+
+
+def test_batch_expert_rollout_verlet_rebuilds():
+    """The BATCH-wide rebuild branch inside the custom_vmap-routed impl:
+    dt=0.6 drifts agents past skin/2 nearly every step, so the batched
+    rollout exercises 'one drifted env rebuilds the whole batch' (B=2) —
+    the other batched tests never leave pure reuse.  Ground truth is the
+    per-env every-step-rebuild rollout (verlet_skin=0)."""
+    import gym_flock_tpu as gft
+    from gym_flock_tpu.parallel import batch_expert_rollout
+
+    env, params = gft.make(
+        "FlockingSparse-v0", n_agents=128, max_reset_tries=4, dt=0.6
+    )
+    key = jax.random.key(11)
+    finals, traj = batch_expert_rollout(env, params, key, n_envs=2, n_steps=8)
+
+    base_params = params.replace(verlet_skin=0.0)
+    keys = jax.random.split(key, 2)
+    for i in range(2):
+        k_reset, k_roll = jax.random.split(keys[i])
+        state, _ = env.reset_env(k_reset, base_params)
+        _, traj_i = env.expert_rollout(state, base_params, 8, key=k_roll)
+        for k in ("u", "values", "reward"):
+            a, b = np.asarray(traj[k][i]), np.asarray(traj_i[k])
+            scale = 1.0 + np.abs(b)
+            assert float(np.max(np.abs(a - b) / scale)) < 1e-4, k
