@@ -1,1 +1,6 @@
-from gym_flock_tpu.compat.gym_api import make_legacy, LegacyEnv, FlattenDictWrapper
+from gym_flock_tpu.compat.gym_api import (
+    FlattenDictWrapper,
+    LegacyEnv,
+    load_cfg_section,
+    make_legacy,
+)
