@@ -9,11 +9,16 @@ Metrics (schema per line: {"metric", "value", "unit", "vs_baseline"}):
    (values + network) is consumed every step so nothing is DCE'd.
    Baseline: reference single-stream expert+step ~835 env-steps/s
    (BASELINE.md; flocking_relative.py:91-134 + :194-212).
-2. Coverage-v0 batched greedy expert.  Baseline: ~2,381 env-steps/s
-   (BASELINE.md; coverage.py:174-364 + :800-826).
-3. ExploreFullEnv-v0 (100 robots, full occupancy map) batched greedy.
-   Baseline: measured reference ExploreFullEnv single-stream greedy rate
-   (this container, same loop as test.py).
+2. Coverage-v0 batched greedy expert, FULL padded graph obs consumed
+   every step (nodes/edges/senders/receivers — nothing DCE'd).
+   Baseline: ~2,381 env-steps/s (BASELINE.md; coverage.py:174-364 +
+   :800-826).
+3. ExploreFullEnv-v0 (100 robots, full occupancy map) batched greedy,
+   full obs consumed.  The hide-nodes discovery masks run as exact
+   one-hot MXU matmuls (envs.coverage._hide_mm_active) — the gather
+   path's per-env-index lookups measure ~10 ns/element on TPU and drop
+   this metric 15x.  Baseline: measured reference ExploreFullEnv
+   single-stream greedy rate (this container, same loop as test.py).
 4. FlockingSparse-v0 N=65,536 fused expert rollout, agent-steps/s.
    Baseline: reference agent-steps/s at N=100 (835 * 100).
 5/6/7. Legacy single-stream interop (compat.make_legacy on CPU, the
@@ -136,8 +141,13 @@ def bench_coverage(B=8192, T=64):
             def body(state, key_t):
                 k1, k2 = jax.random.split(key_t)
                 u = env.controller(state, params, key=k1, greedy=True)
-                state, _, r, d, _ = env.step_env(k2, state, u, params)
-                return state, r
+                state, obs, r, d, _ = env.step_env(k2, state, u, params)
+                # consume EVERY obs leaf so the padded graph-buffer build
+                # is not DCE'd (same honesty rule as the flocking metric)
+                chk = sum(
+                    jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(obs)
+                )
+                return state, r + 1e-12 * chk
 
             state, rs = jax.lax.scan(body, state, jax.random.split(key, T))
             return jnp.sum(rs)
@@ -162,8 +172,12 @@ def bench_explore_full(B=512, T=32):
             def body(state, key_t):
                 k1, k2 = jax.random.split(key_t)
                 u = env.controller(state, params, key=k1, greedy=True)
-                state, _, r, d, _ = env.step_env(k2, state, u, params)
-                return state, r
+                state, obs, r, d, _ = env.step_env(k2, state, u, params)
+                # consume EVERY obs leaf (no DCE; see bench_coverage)
+                chk = sum(
+                    jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(obs)
+                )
+                return state, r + 1e-12 * chk
 
             state, rs = jax.lax.scan(body, state, jax.random.split(key, T))
             return jnp.sum(rs)

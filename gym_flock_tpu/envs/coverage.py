@@ -93,10 +93,21 @@ class CoverageParams:
     # heuristic in _mm_expert_active), True/False forces the MXU one-hot
     # matmul / the row gather
     expert_mm: bool | None = struct.field(pytree_node=False, default=None)
+    # hide-nodes discovery-mask routing: None = auto (engage when the bank
+    # carries hide_*_onehot operands and the tail-edge radius condition
+    # holds — see _hide_mm_active), True/False forces the MXU one-hot
+    # matmul / the gather+scatter path
+    hide_mm: bool | None = struct.field(pytree_node=False, default=None)
+    # largest motion/action edge length in the bank (set by the factory,
+    # host-computed); static so _hide_mm_active can compare it against
+    # discover_radius with params as a traced jit argument
+    max_neighbor_dist: float | None = struct.field(pytree_node=False, default=None)
     # --- dynamic ---
     frac_active_targets: float = 0.5
     res: float = DELTA
-    discover_radius: float = 4.0 * DELTA  # coverage.py:335
+    # static (a geometry constant in the reference, coverage.py:335); the
+    # hide_mm gate compares it against max_neighbor_dist at trace time
+    discover_radius: float = struct.field(pytree_node=False, default=4.0 * DELTA)
     comm_radius: float = 100.0  # robot-robot comm range (coverage.py:135)
     # graph bank: dict of stacked arrays (see coverage_graph.build_graph_bank)
     bank: Any = None
@@ -168,6 +179,43 @@ def _mm_expert_active(params) -> bool:
         # multi-graph banks are bounded by the flattened one-hot width
         and (mm.shape[0] == 1 or mm.shape[0] * mm.shape[1] <= 8192)
     )
+
+
+def _hide_mm_active(params) -> bool:
+    """Static predicate: the MXU discovery-mask path is in use.
+
+    The hide-nodes obs needs per-edge discovery lookups
+    (``disc_all[senders]``/``[receivers]``) and a frontier scatter — all
+    per-env-index ops measured at ~10 ns/element on TPU (ExploreFull-100:
+    the gather+scatter path is 15x the whole rest of the step).  With the
+    bank's ``hide_*_onehot`` operands (coverage_graph.hide_mm_operands)
+    they become three exact one-hot matmuls over the MOTION block only;
+    the tail (action) edges need almost no lookups when
+    ``max_neighbor_dist <= discover_radius``: every REAL action-edge
+    endpoint is at distance (0, discover_radius] of its robot's CURRENT
+    node, and the discovery update runs before the masks, so those
+    senders/receivers are always discovered — their frontier contribution
+    is identically zero, and tail visibility is already forced to 1.  The
+    one exception is the SELF-PAD action edge (neighbor_table pads with
+    the node itself): by the reference's d > 0 discovery quirk a robot
+    does not discover the node it stands on, so that sender can be
+    undiscovered and flag the robot's own frontier row — handled by a
+    single [R] lookup in the fast branch.  Both comparisons here read
+    only static fields, so params may be a traced jit/vmap argument.
+    """
+    if not params.hide_nodes or params.comm_edges:
+        return False
+    if "hide_send_onehot" not in params.bank:
+        return False
+    # the radius condition is a correctness requirement (tail-edge
+    # discovery), not a heuristic — hide_mm=True cannot override it
+    ok = (
+        params.max_neighbor_dist is not None
+        and params.max_neighbor_dist <= params.discover_radius
+    )
+    if params.hide_mm is not None:
+        return params.hide_mm and ok
+    return ok
 
 
 def _greedy_cost_rows(params, g, cur: jax.Array) -> jax.Array:
@@ -571,24 +619,82 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             )  # robots always discovered
             nodes = nodes * disc_all[:, None]
 
-            d_send = _safe_gather(disc_all, senders, fill=0.0)
-            d_recv = _safe_gather(disc_all, receivers, fill=0.0)
-            frontier_mask = (1.0 - d_send) * d_recv > 0.0  # [E]
-            frontier_nodes = jnp.zeros((R + T,))
-            frontier_nodes = frontier_nodes.at[
-                jnp.clip(receivers, 0, R + T - 1)
-            ].max(frontier_mask.astype(jnp.float32))
+            if _hide_mm_active(params):
+                # MXU discovery masks (rationale in _hide_mm_active): the
+                # motion-block lookups run as exact one-hot matmuls against
+                # batch-invariant operands; tail edges are always discovered
+                # by the radius argument, so their frontier contribution is
+                # identically zero and their visibility is the forced 1.
+                # Per-env [1, G*n_all] rows flatten into one dot under the
+                # env-batch vmap (same routing as _greedy_cost_rows).
+                Gn = params.bank["target_mask"].shape[0]
+                n_all = R + T
+                seg = jnp.arange(Gn)[:, None] == g
+                disc_seg = (
+                    jnp.where(seg, disc_all[None, :], 0.0)
+                    .reshape((Gn * n_all,))
+                    .astype(jnp.bfloat16)
+                )
+                d_send_m = jnp.dot(
+                    disc_seg,
+                    params.bank["hide_send_onehot"],
+                    preferred_element_type=jnp.float32,
+                )
+                d_recv_m = jnp.dot(
+                    disc_seg,
+                    params.bank["hide_recv_onehot"],
+                    preferred_element_type=jnp.float32,
+                )
+                # in-edge counts per node (<= N_ACTIONS, bf16-exact)
+                fr = jnp.dot(
+                    ((1.0 - d_send_m) * d_recv_m).astype(jnp.bfloat16),
+                    params.bank["hide_recv_onehot"].T,
+                    preferred_element_type=jnp.float32,
+                )
+                frontier_nodes = (
+                    jnp.sum(jnp.where(seg, fr.reshape((Gn, n_all)), 0.0), axis=0)
+                    > 0.0
+                ).astype(jnp.float32)
+                # Robot rows: motion edges never point at robots, so the
+                # matmul leaves them 0 — but the SELF-PAD action edges
+                # (neighbor_table pads with the node itself) can have an
+                # undiscovered sender: nodes_within_radius keeps the
+                # reference's d > 0 quirk, so a robot does NOT discover the
+                # node it stands on (utils.py:27-39).  Real neighbors are
+                # always discovered (0 < dist <= max_neighbor_dist <=
+                # discover_radius), so a robot's frontier flag reduces to
+                # "has a self-pad slot AND its own node is undiscovered" —
+                # one [R] lookup instead of per-edge gathers.
+                d_cur = disc_all[cur + R]  # [R]
+                robot_frontier = (
+                    jnp.any(nbr == cur[:, None], axis=1) & (d_cur == 0.0)
+                ).astype(jnp.float32)
+                frontier_nodes = jnp.concatenate(
+                    [robot_frontier, frontier_nodes[R:]]
+                )
+                seen_edges = jnp.concatenate(
+                    [(d_send_m * d_recv_m)[: E - n_tail], jnp.ones((n_tail,))]
+                )
+            else:
+                d_send = _safe_gather(disc_all, senders, fill=0.0)
+                d_recv = _safe_gather(disc_all, receivers, fill=0.0)
+                frontier_mask = (1.0 - d_send) * d_recv > 0.0  # [E]
+                frontier_nodes = jnp.zeros((R + T,))
+                frontier_nodes = frontier_nodes.at[
+                    jnp.clip(receivers, 0, R + T - 1)
+                ].max(frontier_mask.astype(jnp.float32))
+                seen_edges = d_send * d_recv
+                # tail (action/comm) edges always visible (coverage.py:343)
+                if params.comm_edges:
+                    seen_edges = jnp.where(
+                        jnp.arange(E) >= tail_start, 1.0, seen_edges
+                    )
+                else:
+                    seen_edges = seen_edges.at[E - n_tail :].set(1.0)
             if params.n_node_feat >= 4:
                 nodes = nodes.at[:, 3].set(
                     jnp.maximum(nodes[:, 3], frontier_nodes)
                 )
-
-            seen_edges = d_send * d_recv
-            # tail (action/comm) edges always visible (coverage.py:343)
-            if params.comm_edges:
-                seen_edges = jnp.where(jnp.arange(E) >= tail_start, 1.0, seen_edges)
-            else:
-                seen_edges = seen_edges.at[E - n_tail :].set(1.0)
             out_senders = jnp.where(seen_edges > 0, senders, -1)
 
         # ---- step counter & done (coverage.py:351-357): the obs carries the
@@ -894,6 +1000,24 @@ def coverage_factory(variant: str):
                 **({"perimeter_delta": peri} if peri is not None else {}),
                 **({"map_shape": (48, 42)} if variant == "explore_full" else {}),
             )
+        if cfg.get("hide_nodes") and not cfg.get("comm_edges"):
+            # MXU discovery-mask operands (host-built one-hots; see
+            # _hide_mm_active and coverage_graph.hide_mm_operands).
+            # max_neighbor_dist is the largest motion/action edge in the
+            # bank — neighbor_dist rows pad with self-loops at dist 0, so
+            # the plain max is the true bound
+            maxd = float(np.max(np.asarray(bank["neighbor_dist"])))
+            G_b, Em_b = bank["motion_senders"].shape
+            n_all_b = cfg["n_robots"] + bank["target_mask"].shape[1]
+            if "hide_send_onehot" not in bank and (
+                2 * G_b * n_all_b * Em_b * 2 <= 512 * 1024 * 1024
+            ):
+                from gym_flock_tpu.envs.coverage_graph import hide_mm_operands
+
+                # in place: default_coverage_bank memoizes the dict, so the
+                # operands are built once per bank, not once per make()
+                bank.update(hide_mm_operands(bank, cfg["n_robots"]))
+            cfg.setdefault("max_neighbor_dist", maxd)
         params = CoverageParams(bank=bank, **cfg)
         if params.comm_edges:
             # the comm slots shrink the motion-edge region beyond what

@@ -446,6 +446,47 @@ def _mm_cost_copy(specs):
     return {"graph_cost_mm": jnp.asarray(mm, dtype=jnp.bfloat16)}
 
 
+def hide_mm_operands(bank, n_robots: int):
+    """bf16 one-hot operands for the hide-nodes discovery masks.
+
+    Per-edge discovery lookups (``disc_all[senders]``) are batched gathers
+    with per-env indices — measured ~10 ns/element on TPU (34x slower than
+    the equivalent one-hot matmul at [B=512, E=6000]).  These operands turn
+    them into MXU work with batch-invariant right-hand sides, the same
+    routing as the greedy expert's cost rows (coverage._greedy_cost_rows):
+
+      ``W[g * n_all + n, e] = 1  iff  motion_<side>[g, e] == n``
+
+    so ``disc_seg @ W`` (disc_seg = disc_all placed in graph segment ``g``,
+    zeros elsewhere) equals ``disc_all[motion_<side>[g]]`` exactly — every
+    output element is a single 0/1 product, and the reverse contraction
+    ``frontier_mask @ W.T`` counts in-edges (degree <= N_ACTIONS, exact in
+    bf16).  ``-1``-padded edge slots give all-zero columns, matching the
+    gather path's fill=0.  Consumed by ``CoverageEnv._obs_reward`` when
+    ``_hide_mm_active`` (see there for the tail-edge radius argument).
+    """
+    import jax.numpy as jnp
+
+    ms = np.asarray(bank["motion_senders"])
+    mr = np.asarray(bank["motion_receivers"])
+    G, Em = ms.shape
+    n_all = n_robots + np.asarray(bank["target_mask"]).shape[1]
+
+    def onehot_flat(idx):
+        W = np.zeros((G * n_all, Em), dtype=np.float32)
+        g_ar = np.repeat(np.arange(G), Em)
+        e_ar = np.tile(np.arange(Em), G)
+        flat = idx.reshape(-1)
+        valid = flat >= 0
+        W[g_ar[valid] * n_all + flat[valid], e_ar[valid]] = 1.0
+        return jnp.asarray(W, dtype=jnp.bfloat16)
+
+    return {
+        "hide_send_onehot": onehot_flat(ms),
+        "hide_recv_onehot": onehot_flat(mr),
+    }
+
+
 # =============================================================================
 # Obstacle rejection & legacy target layouts (reference make_map.py:8-27,70-180)
 # =============================================================================

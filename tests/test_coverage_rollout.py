@@ -256,3 +256,123 @@ def test_small_r_mm_expert_matches_gather():
         u_gather = env.controller(state, params_gather, key=kt, greedy=True)
         np.testing.assert_array_equal(np.asarray(u_mm), np.asarray(u_gather))
         state, _, _, _, _ = env.step_env(kt, state, u_mm, params)
+
+
+@pytest.mark.parametrize("env_id,mk", [
+    ("ExploreEnv-v0", dict(n_graphs=2)),   # G=2: segment-flattened operands
+    ("ExploreFullEnv-v0", dict()),          # G=1
+])
+def test_hide_mm_discovery_masks_match_gather_path(env_id, mk):
+    """The MXU discovery-mask path (one-hot matmuls over the motion block,
+    tail handled by the radius argument — coverage._hide_mm_active) is
+    BITWISE equal to the gather+scatter path: every obs leaf, reward, and
+    the discovered mask, over a rollout long enough to grow discovery."""
+    from gym_flock_tpu.envs.coverage import _hide_mm_active
+
+    env, params = gft.make(env_id, **mk)
+    assert _hide_mm_active(params), "factory should auto-engage the fast path"
+    assert "hide_send_onehot" in params.bank
+    p_slow = params.replace(hide_mm=False)
+    assert not _hide_mm_active(p_slow)
+
+    key = jax.random.key(3)
+    state_f, obs_f = env.reset_env(key, params)
+    state_s, obs_s = env.reset_env(key, p_slow)
+    for k in obs_f:
+        a, b = np.asarray(obs_f[k]), np.asarray(obs_s[k])
+        if not np.array_equal(a, b):  # pragma: no cover - debug dump
+            d = np.argwhere(a != b)
+            print("DBG leaf", k, "mismatch at", d[:5].tolist())
+            print("DBG x64", jax.config.jax_enable_x64)
+            print("DBG graph", int(state_f.graph), int(state_s.graph))
+            print("DBG robot_loc f", np.asarray(state_f.robot_loc),
+                  "s", np.asarray(state_s.robot_loc))
+            print("DBG disc sum f", float(np.asarray(state_f.discovered).sum()),
+                  "s", float(np.asarray(state_s.discovered).sum()))
+            row = int(d[0][0])
+            print("DBG row", row, "fast", a[row].tolist(), "slow", b[row].tolist())
+        np.testing.assert_array_equal(a, b)
+    for t in range(8):
+        kt = jax.random.fold_in(key, t)
+        k1, k2 = jax.random.split(kt)
+        u_f = env.controller(state_f, params, key=k1, greedy=True)
+        u_s = env.controller(state_s, p_slow, key=k1, greedy=True)
+        np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_s))
+        state_f, obs_f, r_f, d_f, _ = env.step_env(k2, state_f, u_f, params)
+        state_s, obs_s, r_s, d_s, _ = env.step_env(k2, state_s, u_s, p_slow)
+        for k in obs_f:
+            np.testing.assert_array_equal(
+                np.asarray(obs_f[k]), np.asarray(obs_s[k]), err_msg=f"t={t} {k}"
+            )
+        assert float(r_f) == float(r_s)
+        np.testing.assert_array_equal(
+            np.asarray(state_f.discovered), np.asarray(state_s.discovered)
+        )
+
+
+def test_hide_mm_gate_is_static_and_radius_guarded():
+    """_hide_mm_active reads only static fields (params may be traced) and
+    the tail-radius condition cannot be overridden by hide_mm=True."""
+    from gym_flock_tpu.envs.coverage import _hide_mm_active
+
+    env, params = gft.make("ExploreFullEnv-v0")
+    # force-True with a discover_radius below the bank's longest edge must
+    # fall back (correctness gate, not a heuristic)
+    bad = params.replace(
+        hide_mm=True, discover_radius=params.max_neighbor_dist / 2
+    )
+    assert not _hide_mm_active(bad)
+
+    # params as a traced jit argument: the gate must not read dynamic leaves
+    state, _ = env.reset_env(jax.random.key(0), params)
+
+    @jax.jit
+    def step(s, p):
+        u = env.controller(s, p, key=jax.random.key(1), greedy=True)
+        return env.step_env(jax.random.key(2), s, u, p)
+
+    s2, obs, r, d, _ = step(state, params)
+    assert obs["nodes"].shape[0] == params.max_targets + params.n_robots
+
+
+def test_hide_mm_self_pad_frontier_quirk():
+    """A robot does NOT discover the node it stands on (the reference's
+    d > 0 quirk in _nodes_within_radius, utils.py:27-39), so a SELF-padded
+    action edge can carry an undiscovered sender and flag the robot's own
+    frontier row.  Regression: the fast path originally assumed all tail
+    senders discovered and missed this (caught by an x64 reset placement).
+    Construct the case deterministically and require BOTH paths to flag
+    the robot."""
+    from gym_flock_tpu.envs.coverage import _hide_mm_active
+
+    env, params = gft.make("ExploreEnv-v0", n_graphs=2)
+    assert _hide_mm_active(params)
+    R = params.n_robots
+    nt = np.asarray(params.bank["neighbor_table"])[0]
+    n_t = int(np.asarray(params.bank["n_targets"])[0])
+    pos = np.asarray(params.bank["target_pos"])[0]
+    # a real node with a self-pad slot (degree < n_actions)
+    self_pad = (nt == np.arange(nt.shape[0])[:, None]).any(axis=1)
+    cands = np.nonzero(self_pad[:n_t])[0]
+    assert len(cands) > 0
+    s = int(cands[0])
+    # other robots farther than discover_radius from s (and from its nbrs)
+    far = np.nonzero(
+        (np.linalg.norm(pos[:n_t] - pos[s], axis=1)
+         > params.discover_radius + 2 * params.res)
+    )[0]
+    robot_loc = np.array([s] + list(far[: R - 1]), dtype=np.int32)
+
+    state, _ = env.reset_env(jax.random.key(0), params)
+    state = state.replace(
+        robot_loc=jnp.asarray(robot_loc),
+        discovered=jnp.zeros_like(state.discovered),
+    )
+    obs_f, r_f, d_f, _ = env._obs_reward(state, params)
+    obs_s, r_s, d_s, _ = env._obs_reward(state, params.replace(hide_mm=False))
+    for k in obs_f:
+        np.testing.assert_array_equal(
+            np.asarray(obs_f[k]), np.asarray(obs_s[k]), err_msg=k
+        )
+    # the edge case actually fired: robot 0's frontier flag is set
+    assert float(np.asarray(obs_s["nodes"])[0, 3]) == 1.0
