@@ -28,6 +28,11 @@ Metrics (schema per line: {"metric", "value", "unit", "vs_baseline"}):
    regen (BASELINE.md); here sub-windows come from a pre-built bank
    (one-time, excluded like the reference's one-time 12 s map load).
 
+Plus a PASS-metric: compiled-Mosaic-under-shard_map smoke on a real
+1-device TPU mesh (benchmarks/tpu_smoke.py — the multi-chip program
+structure with the Pallas tiles executed as real Mosaic, verified
+against the dense XLA kernel; value 1.0 = pass, vs_baseline = rel err).
+
 Timing is by scalar value fetch (on remote-attached platforms
 ``block_until_ready`` can return before execution completes), best-of-N
 because the shared chip has +-15-20% run-to-run variance.  Each metric is
@@ -277,6 +282,19 @@ def main():
              BASELINE_COVERAGE_ARL)
     except Exception as e:  # pragma: no cover
         print(f"# legacy failed: {e!r}", flush=True)
+
+    try:
+        # compiled Mosaic under shard_map on a REAL TPU mesh (VERDICT r1
+        # weak #7): value 1.0 = pass, vs_baseline = max rel err vs the
+        # dense XLA kernel
+        out = subprocess.run(
+            [sys.executable,
+             str(Path(__file__).parent / "benchmarks" / "tpu_smoke.py")],
+            capture_output=True, text=True, timeout=300,
+        )
+        print(out.stdout.strip().splitlines()[-1], flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"# tpu_smoke failed: {e!r}", flush=True)
 
     # repeat the flagship as the FINAL line for last-line parsers
     if "flocking_fused" in results:
