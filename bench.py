@@ -292,7 +292,11 @@ def main():
              str(Path(__file__).parent / "benchmarks" / "tpu_smoke.py")],
             capture_output=True, text=True, timeout=300,
         )
-        print(out.stdout.strip().splitlines()[-1], flush=True)
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr.strip()[-300:])
+        line = out.stdout.strip().splitlines()[-1]
+        json.loads(line)  # only schema-valid lines enter the metric stream
+        print(line, flush=True)
     except Exception as e:  # pragma: no cover
         print(f"# tpu_smoke failed: {e!r}", flush=True)
 

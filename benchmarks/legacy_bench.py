@@ -67,52 +67,25 @@ def bench_flocking(n_steps: int) -> float:
     return _best_of(loop, n_steps)
 
 
-def bench_coverage(n_steps: int) -> float:
-    from gym_flock_tpu.compat import make_legacy
+def _bench_greedy_legacy(env_id: str, extra_warmup: int, n_steps: int) -> float:
+    """Greedy controller+step single-stream loop, resets included.
 
-    env = make_legacy("Coverage-v0")
-    env.seed(0)
-    env.reset()
-    # warmup through the deep-pipeline compile (see bench_flocking), crossing
-    # at least one episode boundary so the post-reset shallow rebuild is
-    # compiled too
-    for _ in range(3 + 2 * env._SPEC_DEPTH_MAX + 80):
-        a = env.controller(greedy=True)
-        _, _, d, _ = env.step(a)
-        if d:
-            env.reset()
-    # resets are excluded from the reference rate; subtract nothing but note
-    def loop(n):
-        for _ in range(n):
-            a = env.controller(greedy=True)
-            _, _, done, _ = env.step(a)
-            if done:
-                env.reset()
-
-    return _best_of(loop, n_steps)
-
-
-def bench_coverage_arl(n_steps: int) -> float:
-    """CoverageARL-v0 greedy single-stream, resets included.
-
-    The reference's ~176 steps/s (BASELINE.md) includes a per-episode
-    random-subwindow regeneration (coverage_arl.py:64-82, host SciPy);
-    here sub-window graphs are a pre-built bank (one-time, excluded like
-    the reference's one-time 12 s map load) and each reset draws from it —
-    the TPU-first design amortizes map work by construction, so resets
-    cost a device call, not a regen.
+    Warmup runs through the deep-pipeline compile (see bench_flocking) AND
+    crosses episode boundaries so the post-reset shallow rebuild is
+    compiled too; resets are excluded from the reference rates the same
+    way (BASELINE.md measures steady state).
     """
     from gym_flock_tpu.compat import make_legacy
 
-    env = make_legacy("CoverageARL-v0")
+    env = make_legacy(env_id)
     env.seed(0)
     env.reset()
-    # episode_length=50: the warmup crosses several episode boundaries
-    for _ in range(3 + 2 * env._SPEC_DEPTH_MAX + 60):
+    for _ in range(3 + 2 * env._SPEC_DEPTH_MAX + extra_warmup):
         a = env.controller(greedy=True)
         _, _, d, _ = env.step(a)
         if d:
             env.reset()
+
     def loop(n):
         for _ in range(n):
             a = env.controller(greedy=True)
@@ -121,6 +94,22 @@ def bench_coverage_arl(n_steps: int) -> float:
                 env.reset()
 
     return _best_of(loop, n_steps)
+
+
+def bench_coverage(n_steps: int) -> float:
+    return _bench_greedy_legacy("Coverage-v0", 80, n_steps)
+
+
+def bench_coverage_arl(n_steps: int) -> float:
+    """CoverageARL-v0: the reference's ~176 steps/s (BASELINE.md) includes
+    a per-episode random-subwindow regeneration (coverage_arl.py:64-82,
+    host SciPy); here sub-window graphs are a pre-built bank (one-time,
+    excluded like the reference's one-time 12 s map load) and each reset
+    draws from it — the TPU-first design amortizes map work by
+    construction, so resets cost a device call, not a regen.
+    episode_length=50, so the warmup crosses several episode boundaries.
+    """
+    return _bench_greedy_legacy("CoverageARL-v0", 60, n_steps)
 
 
 def main():

@@ -106,7 +106,9 @@ class CoverageParams:
     frac_active_targets: float = 0.5
     res: float = DELTA
     # static (a geometry constant in the reference, coverage.py:335); the
-    # hide_mm gate compares it against max_neighbor_dist at trace time
+    # hide_mm gate compares it against max_neighbor_dist at trace time.
+    # NOTE: static means pytree-STRUCTURE — params with different radii
+    # cannot be vmapped/stacked together; sweep via separate instances
     discover_radius: float = struct.field(pytree_node=False, default=4.0 * DELTA)
     comm_radius: float = 100.0  # robot-robot comm range (coverage.py:135)
     # graph bank: dict of stacked arrays (see coverage_graph.build_graph_bank)
@@ -206,6 +208,12 @@ def _hide_mm_active(params) -> bool:
     if not params.hide_nodes or params.comm_edges:
         return False
     if "hide_send_onehot" not in params.bank:
+        return False
+    # the fast path consumes the bank's FULL motion width while the gather
+    # path slices to E - n_tail; a user-built bank with a different
+    # max_edges split must fall back (shapes are static)
+    n_tail = 2 * params.n_actions * params.n_robots
+    if params.bank["motion_senders"].shape[1] != params.max_edges - n_tail:
         return False
     # the radius condition is a correctness requirement (tail-edge
     # discovery), not a heuristic — hide_mm=True cannot override it
