@@ -203,6 +203,13 @@ class AirsimCoverageBridge:
         if settings_path is not None:
             names, home = parse_settings(settings_path)
         assert names is not None and home is not None
+        n_robots = int(legacy_env.params.n_robots)
+        if len(names) != n_robots:
+            raise ValueError(
+                f"{len(names)} vehicles for an env with {n_robots} robots — "
+                f"pass a matching settings.json or make the env with "
+                f"n_robots={len(names)}"
+            )
         self.ops = _ClientOps(client, names, home)
         self.env = legacy_env  # a compat.gym_api LegacyEnv over CoverageEnv
         self.v_max = 2.0
@@ -232,8 +239,10 @@ class AirsimCoverageBridge:
         cur = np.asarray(self.env.state.robot_loc)
         nxt = nbr[cur, np.asarray(u_ind).reshape(-1)]
 
-        self._sync()
+        # one RPC sweep serves both the state snap and the P-controller
+        # (previously _sync() + a second get_states(): 2n round-trips)
         states, _ = self.ops.get_states()
+        self.env.update_state(states[:, 0:2])
         # P-controller: position offset -> clipped velocity (reference :101-103)
         u = states[:, 0:2] - pos[nxt]
         u = -1.0 * np.clip(u, -self.v_max, self.v_max)

@@ -38,13 +38,21 @@ class RosCoverageDriver:
         self.get_poses = get_poses
         self.send_goal = list(send_goal)
         n = len(self.send_goal)
+        n_robots = int(legacy_env.params.n_robots)
+        if n != n_robots:
+            raise ValueError(
+                f"{n} goto services for an env with {n_robots} robots — "
+                f"uncommanded or mis-snapped robots otherwise go unnoticed"
+            )
         self.altitudes = list(altitudes) if altitudes is not None else [-40.0] * n
         self.total_reward = 0.0
 
-    def tick(self) -> float:
+    def tick(self):
         """One loop iteration (reference test_sim.py:94-133): ingest poses,
         compute reward, run the greedy expert, send each robot its next
-        waypoint.  Returns the step reward."""
+        waypoint.  Returns ``(reward, done)`` — done fires on the single
+        tick the episode ends (all targets covered or time ==
+        episode_length), after which the caller should reset or stop."""
         env = self.env
         env.update_state(self.get_poses())
 
@@ -53,6 +61,10 @@ class RosCoverageDriver:
         obs, reward, done = env.observe()
         self.total_reward += reward
 
+        # the legacy controller keeps its RNG stream identical to the
+        # unfused call pair; its depth-1 fused program includes a step_env
+        # whose result the next tick's flush discards — ~0.1 ms of device
+        # work, negligible next to the per-robot RPC round-trips
         action = env.controller(random=False, greedy=True)
 
         g = int(env.state.graph)
@@ -73,4 +85,4 @@ class RosCoverageDriver:
                 # mirror the reference's ServiceException swallow
                 # (test_sim.py:125-127)
                 pass
-        return float(reward)
+        return float(reward), bool(done)

@@ -50,7 +50,6 @@ class LegacyEnv:
         self._key = jax.random.key(0)
         self._renderer = None
         self._ctrl_cache = {}
-        self._spec = None  # kept for API compat; superseded by the queue
         self._queue = []  # speculative lookahead transitions (host-side)
         self._queue_sig = None  # controller signature the queue was built for
         self._head_served = False
@@ -70,7 +69,6 @@ class LegacyEnv:
     def seed(self, seed: Optional[int] = None):
         self._key = jax.random.key(0 if seed is None else seed)
         self.np_random = np.random.RandomState(seed)
-        self._spec = None
         self._flush_queue()
         return [seed]
 
@@ -79,12 +77,12 @@ class LegacyEnv:
         return sub
 
     def reset(self):
-        self._spec = None
         self._flush_queue()
         self._state, obs = self.env.reset(self._split(), self.params)
         return _to_np(obs)
 
     def step(self, action):
+        assert self._state is not None, "call reset() first"
         if self._queue:
             entry = self._queue[0]
             if np.array_equal(np.asarray(action), entry["action"]):
@@ -133,7 +131,6 @@ class LegacyEnv:
         (large-N observation tuples get shallow queues automatically).
         """
         assert self._state is not None, "call reset() first"
-        self._spec = None
         try:
             sig = (args, tuple(sorted(kwargs.items())))
             hash(sig)
@@ -256,7 +253,6 @@ class LegacyEnv:
                 updates[field] = cast(args[cfg_key])
         if updates:
             self.params = self.params.replace(**updates)
-            self._spec = None
             self._flush_queue()
             self._deep_depth = None  # re-measure: obs size may have changed
         return self.params
@@ -264,7 +260,6 @@ class LegacyEnv:
     def update_state(self, state_xy: np.ndarray):
         """Snap externally supplied robot positions onto the graph
         (reference coverage_arl.py:42-44) — the ROS/AirSim injection point."""
-        self._spec = None
         self._flush_queue()
         from gym_flock_tpu.envs.coverage import CoverageState
 
@@ -321,13 +316,13 @@ class _CoverageLegacyEnv(LegacyEnv):
         """Recompute obs/reward at the current state without moving robots —
         the reference's ``step(action=None)`` path (coverage.py:180-202),
         used by the ROS/AirSim drivers after external state injection."""
-        self._spec = None
         self._flush_queue()
         obs, reward, done, state = self.env._obs_reward(self._state, self.params)
         self._state = state
         return _to_np(obs), float(reward), bool(done)
 
     def step(self, action):
+        assert self._state is not None, "call reset() first"
         if self._queue and self._head_served:
             entry = self._queue[0]
             if np.array_equal(np.asarray(action), entry["action"]):
@@ -359,7 +354,6 @@ class _CoverageLegacyEnv(LegacyEnv):
 
     def controller(self, random=False, greedy=False, reset_solution=False):
         assert self._state is not None, "call reset() first"
-        self._spec = None
         if not greedy:
             self._flush_queue()
         if random:

@@ -251,6 +251,16 @@ def reference_coverage_reset(
     hops = shortest_path(csr_matrix(adj), method="D", unweighted=True)
     want = n_robots * nearby_density
     level = 0
+    reachable = int(np.sum(np.isfinite(hops[center])))
+    if reachable < want:
+        # the center's connected component is too small: the ring expansion
+        # can never reach `want` and the reference's loop
+        # (coverage.py:655-673 get_n_nearest) would spin forever — fail
+        # loudly instead (same spirit as reference_flocking_reset's guard)
+        raise ValueError(
+            f"start component has {reachable} nodes < {want} wanted "
+            f"(n_robots*nearby_density) — map too fragmented for this seed"
+        )
     while np.sum(hops[center] <= level) < want:
         level += 1
     start_region = hops[center] <= level

@@ -208,14 +208,18 @@ class FormationRenderer(_Base):
         self._flush()
 
 
-def get_renderer(env_id: str, env, params):
+def get_renderer(env_id: str, env, params, horizon: int = -1):
+    """Family renderer by env instance (``env_id`` is accepted for API
+    symmetry with the registry but dispatch is isinstance-based).
+    ``horizon >= 0`` enables CoverageRenderer's graph-cost-neighborhood
+    overlay (robot 0's yellow dots, reference coverage.py:498-503)."""
     from gym_flock_tpu.envs.coverage import CoverageEnv
     from gym_flock_tpu.envs.flocking import FlockingRelativeEnv
     from gym_flock_tpu.envs.formation import FormationFlyingEnv
     from gym_flock_tpu.envs.shepherding import ShepherdingEnv
 
     if isinstance(env, CoverageEnv):
-        return CoverageRenderer(env, params)
+        return CoverageRenderer(env, params, horizon=horizon)
     if isinstance(env, ShepherdingEnv):
         return ShepherdingRenderer(env, params)
     if isinstance(env, FormationFlyingEnv):

@@ -35,8 +35,21 @@ def circle(n: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def grid(n: int, side: int = 5) -> np.ndarray:
-    """0.8-spaced centered grid (utils.py:23-30)."""
+    """0.8-spaced centered grid (utils.py:23-30).
+
+    Byte-identical to the reference when ``n`` is a multiple of ``side``;
+    for other ``n`` the reference CRASHES (utils.py:29 reshape) — here the
+    enclosing grid is built and the first ``n`` points kept, so bridge
+    fleets of any size (e.g. the 2-drone settings2.json) can reset.
+    """
     side2 = int(n / side)
+    if side * side2 != n:
+        side2 = -(-n // side)  # ceil: enough rows to cover n
+        xs = np.arange(0, side) - side / 2.0
+        ys = np.arange(0, side2) - side2 / 2.0
+        xs, ys = np.meshgrid(xs, ys)
+        pts = 0.8 * np.hstack((xs.reshape((-1, 1)), ys.reshape((-1, 1))))
+        return pts[:n]
     xs = np.arange(0, side) - side / 2.0
     ys = np.arange(0, side2) - side2 / 2.0
     xs, ys = np.meshgrid(xs, ys)
@@ -55,8 +68,18 @@ def twoflocks(n: int, delta: float = 6, side=None) -> Tuple[np.ndarray, np.ndarr
 
 
 def parse_settings(fname: str) -> Tuple[list, np.ndarray]:
-    """Extract vehicle names and home offsets from an AirSim settings.json
-    (reference utils.py:67-77 — regex-based, kept byte-compatible)."""
+    """Extract vehicle names and home offsets from an AirSim settings.json.
+
+    Primary path mirrors reference utils.py:67-77 byte-compatibly — a
+    line-based regex that requires the ``"X": .., "Y": .., "Z": ..`` triple
+    on ONE line (the fixture style) and collects every ``"Name": {`` key
+    except "Vehicles" (including the reference's quirk of also matching
+    non-vehicle object keys).  Pretty-printed settings (one coordinate per
+    line — the AirSim docs' format) never match the triple regex and the
+    reference crashes or silently misaligns names/homes; here any
+    name/home count mismatch falls back to a real JSON parse of the
+    ``Vehicles`` section (insertion order, missing coordinates = 0).
+    """
     names = []
     homes = []
     for line in open(fname):
@@ -73,4 +96,17 @@ def parse_settings(fname: str) -> Tuple[list, np.ndarray]:
                     (1, 3)
                 )
             )
-    return names, np.concatenate(homes, axis=0)
+    if homes and len(homes) == len(names):
+        return names, np.concatenate(homes, axis=0)
+    # fallback: structured parse (multi-line / pretty-printed settings)
+    import json
+
+    with open(fname) as f:
+        vehicles = json.load(f).get("Vehicles", {})
+    names = list(vehicles)
+    if not names:
+        raise ValueError(f"no Vehicles found in {fname}")
+    homes = np.array(
+        [[float(v.get(k, 0.0)) for k in ("X", "Y", "Z")] for v in vehicles.values()]
+    )
+    return names, homes

@@ -128,8 +128,9 @@ def test_ros_driver_tick():
         get_poses=lambda: pos[cur] + 0.1,
         send_goal=[lambda goal, i=i: sent.append((i, goal)) for i in range(6)],
     )
-    r = driver.tick()
+    r, done = driver.tick()
     assert np.isfinite(r)
+    assert done in (False, True)
     assert len(sent) == 6
     # waypoints are graph nodes
     for _, goal in sent:
@@ -143,7 +144,7 @@ def test_airsim_env_ids_registered():
     with pytest.raises(ValueError, match="AirSim-compatible client"):
         gft.make("FlockingAirsimAccel-v0")
 
-    # grid() formations need n >= 5 (reference settings.json ships 5 drones)
+    # the reference settings.json ships 5 drones (grid() now accepts any n)
     names = [f"D{i}" for i in range(5)]
     bridge, params = gft.make(
         "FlockingAirsimAccel-v0",
@@ -164,3 +165,53 @@ def test_airsim_env_ids_registered():
     )
     obs = env2.reset()
     assert "nodes" in obs
+
+
+def test_grid_formation_any_fleet_size():
+    """grid() stays byte-identical to the reference for n % side == 0 and
+    no longer crashes otherwise (the reference does, utils.py:29): the
+    enclosing grid's first n points, still 0.8-spaced and distinct."""
+    from gym_flock_tpu.utils.formations import grid
+
+    g10 = grid(10)
+    assert g10.shape == (10, 2)
+    for n in (1, 2, 3, 6, 7, 11):
+        g = grid(n)
+        assert g.shape == (n, 2)
+        d = np.linalg.norm(g[:, None] - g[None, :], axis=-1)
+        assert (d[~np.eye(n, dtype=bool)] > 0.7).all() if n > 1 else True
+    # multiple-of-side case unchanged: first row of grid(10) == grid(10)
+    np.testing.assert_array_equal(grid(10), g10)
+
+
+def test_parse_settings_pretty_printed(tmp_path):
+    """The reference regex needs X/Y/Z on one line; pretty-printed AirSim
+    settings (the docs' format) fall back to a real JSON parse with the
+    same names/homes."""
+    import json
+
+    from gym_flock_tpu.utils.formations import parse_settings
+
+    cfg = {
+        "Vehicles": {
+            "A": {"X": 0, "Y": 1, "Z": -2},
+            "B": {"X": 3.5, "Y": -1, "Z": 0},
+        }
+    }
+    p = tmp_path / "settings.json"
+    p.write_text(json.dumps(cfg, indent=4))  # one coordinate per line
+    names, homes = parse_settings(str(p))
+    assert names == ["A", "B"]
+    np.testing.assert_array_equal(homes, [[0, 1, -2], [3.5, -1, 0]])
+
+
+def test_bridge_vehicle_count_must_match_env():
+    from gym_flock_tpu.bridges import AirsimCoverageBridge
+    from gym_flock_tpu.compat import make_legacy
+
+    env = make_legacy("Coverage-v0", n_graphs=1)  # 6 robots
+    names = [f"D{i}" for i in range(4)]
+    with pytest.raises(ValueError, match="4 vehicles"):
+        AirsimCoverageBridge(
+            FakeMultirotorClient(names), env, names=names, home=np.zeros((4, 3))
+        )
