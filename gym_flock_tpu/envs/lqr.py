@@ -33,6 +33,11 @@ class LQRSystem:
     q_sys: jax.Array  # [n, n]
     r_sys: jax.Array  # [n, n]
     std_dev: jax.Array  # scalar process-noise std
+    # Riccati gain, precomputed by build_lqr_system (state-independent —
+    # recomputing the 50-iteration fixed point per expert call was ~50
+    # dense solves/matmuls per step); None falls back to computing in
+    # controller() for hand-built systems
+    k_gain: jax.Array | None = None
 
 
 @struct.dataclass
@@ -92,7 +97,7 @@ def build_lqr_system(key: jax.Array, params: LQRParams) -> LQRSystem:
     q_sys = (q_sys + q_sys.T) / 2.0
     r_sys = params.dt * eye * (params.b_scale**2)
     cov00 = q_sys[0, 0] * params.var
-    return LQRSystem(
+    sys = LQRSystem(
         a_net=a_net,
         a_sys=a_expm,
         b_sys=b_sys,
@@ -100,6 +105,24 @@ def build_lqr_system(key: jax.Array, params: LQRParams) -> LQRSystem:
         r_sys=r_sys,
         std_dev=jnp.sqrt(cov00),
     )
+    return sys.replace(k_gain=_riccati_gain(sys))
+
+
+def _riccati_gain(sys: LQRSystem) -> jax.Array:
+    """Infinite-horizon discrete LQR gain by 50 fixed-point sweeps
+    (state-independent; shared by build_lqr_system and the controller
+    fallback so the two are bitwise-identical)."""
+
+    def body(P, _):
+        a, b, q, r = sys.a_sys, sys.b_sys, sys.q_sys, sys.r_sys
+        btpb = b.T @ P @ b
+        k = jnp.linalg.solve(r + btpb, b.T @ P @ a)
+        P2 = q + a.T @ P @ (a - b @ k)
+        return P2, None
+
+    P, _ = jax.lax.scan(body, sys.q_sys, None, length=50)
+    a, b, r = sys.a_sys, sys.b_sys, sys.r_sys
+    return jnp.linalg.solve(r + b.T @ P @ b, b.T @ P @ a)
 
 
 class LQREnv(Env[LQRParams, LQRState]):
@@ -129,17 +152,9 @@ class LQREnv(Env[LQRParams, LQRState]):
         """The reference controller is a no-op (lqr.py:106-107); provide the
         infinite-horizon LQR gain as the natural expert (extension)."""
         sys = params.system
-        # one Riccati fixed-point sweep family: iterate P <- Q + A'PA - ...
-        def body(P, _):
-            a, b, q, r = sys.a_sys, sys.b_sys, sys.q_sys, sys.r_sys
-            btpb = b.T @ P @ b
-            k = jnp.linalg.solve(r + btpb, b.T @ P @ a)
-            P2 = q + a.T @ P @ (a - b @ k)
-            return P2, None
-
-        P, _ = jax.lax.scan(body, sys.q_sys, None, length=50)
-        a, b, r = sys.a_sys, sys.b_sys, sys.r_sys
-        k = jnp.linalg.solve(r + b.T @ P @ b, b.T @ P @ a)
+        # the gain is state-independent: precomputed at system build; the
+        # fixed-point fallback serves hand-built LQRSystems
+        k = sys.k_gain if sys.k_gain is not None else _riccati_gain(sys)
         return -(k @ state.x.reshape((-1, 1)))
 
     def observation_space(self, params):

@@ -245,7 +245,10 @@ class MappingEnv(Env[MappingParams, MappingState]):
             reward = credit - params.dist_penalty * dist  # [N]
         else:
             reward = params.reward_scale * jnp.sum(newly) - params.dist_penalty * jnp.sum(dist)
-        done = ~jnp.any(new_unobserved)
+        # all targets observed OR the registered step limit (the reference
+        # relies on gym's TimeLimit wrapper, gym_flock/__init__.py:62-90;
+        # every env family here applies its own limit — core/env.py)
+        done = ~jnp.any(new_unobserved) | (state.time + 1 >= params.max_steps)
         new_state = state.replace(
             time=state.time + 1,
             x=new_x,
@@ -328,12 +331,19 @@ class MappingDiscEnv(MappingVelEnv):
         return jnp.zeros((params.n_agents, 1), dtype=jnp.int32)
 
     def action_space(self, params: MappingParams):
-        return Discrete(params.nearest_targets)
+        # one choice PER AGENT (the reference declares a bare
+        # Discrete(n_actions), old/mapping_disc.py, which its own step
+        # cannot consume — here sample() must produce a steppable action)
+        from gym_flock_tpu.core.spaces import MultiDiscrete
+
+        return MultiDiscrete((params.nearest_targets,) * params.n_agents)
 
 
 class MappingLocalEnv(MappingEnv):
     """Local-observation variant (reference old/mapping_local.py:15-272):
     double integrator, 4-NN, own velocity prepended, per-agent reward."""
+
+    _px_tracks_n = True  # arena half-width follows n_agents (mapping_local.py:106-108)
 
     def default_params(self) -> MappingParams:
         n = 20

@@ -225,7 +225,12 @@ class ShepherdingEnv(Env[ShepherdingParams, ShepherdingState]):
     # ---------------------------------------------------------------- spaces
 
     def observation_space(self, params):
-        return Box(-jnp.inf, jnp.inf, (params.n_agents, 3))
+        # 4 features: [x, y, theta, shepherd/sheep identity].  The
+        # reference DECLARES nx=3 but its _compute_observations hstacks the
+        # identity column (shepherding.py) — the declaration is the bug;
+        # this space describes the actual obs so buffer-sizing consumers
+        # work
+        return Box(-jnp.inf, jnp.inf, (params.n_agents, 4))
 
     def action_space(self, params):
         return Box(-params.v_max, params.v_max, (params.n_shepherds, 2))

@@ -123,4 +123,25 @@ def solve_vrp_raw(
     for v in range(num_vehicles):
         row = out[v]
         routes.append([int(x) for x in row[row >= 0]])
+    if mode == "cheapest_arc":
+        # the construction's vehicle v claims the lowest-indexed UNCLAIMED
+        # init location, not necessarily vehicle v's own; the reference
+        # reassigns each route to the robot whose init matches its first
+        # stop (vrp_solver.py:144-146) — without this, robots with
+        # non-ascending node indices execute each other's tours
+        # ("improve" mode pins vehicle v to init_loc[v] in the C++ and
+        # needs no reassignment)
+        assigned: List[List[int]] = [[] for _ in range(num_vehicles)]
+        init_list = [int(i) for i in init_loc]
+        taken = [False] * num_vehicles
+        for route in routes:
+            if not route:
+                continue
+            first = route[0]
+            for r_i, loc in enumerate(init_list):
+                if loc == first and not taken[r_i]:
+                    assigned[r_i] = route
+                    taken[r_i] = True
+                    break
+        routes = assigned
     return routes

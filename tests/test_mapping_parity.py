@@ -264,3 +264,38 @@ def test_mapping_envs_jit_vmap_batch():
     states2, obs2, r, d, _ = jax.jit(jax.vmap(step))(states, keys)
     assert r.shape == (B, params.n_agents)  # per-agent reward variant
     assert np.isfinite(np.asarray(r)).all()
+
+
+def test_mapping_time_limit_done():
+    """done fires at params.max_steps even when targets remain (the
+    reference relies on gym's TimeLimit wrapper; every env family here
+    applies its own limit)."""
+    env, params = gft.make("Mapping-v0", n_agents=8)
+    params = params.replace(max_steps=3)
+    state, _ = env.reset_env(jax.random.key(0), params)
+    done = False
+    for t in range(3):
+        assert not done, t
+        u = jnp.zeros((8, 2))  # stand still: targets never all observed
+        state, _, _, done, _ = env.step_env(jax.random.key(t), state, u, params)
+    assert bool(done)
+
+
+def test_mapping_local_arena_tracks_n_agents():
+    """MappingLocal's arena half-width follows n_agents like the reference
+    params_from_cfg (old/mapping_local.py:106-108)."""
+    _, p20 = gft.make("MappingLocal-v0")
+    _, p40 = gft.make("MappingLocal-v0", n_agents=40)
+    assert p40.px_max == 40.0 and p40.py_max == 40.0
+    assert p20.px_max == 20.0
+
+
+def test_mapping_disc_action_space_steppable():
+    """action_space.sample() must produce an action step_env accepts
+    (the reference declares a bare Discrete its own step cannot consume)."""
+    env, params = gft.make("MappingDisc-v0", n_agents=6)
+    a = env.action_space(params).sample(jax.random.key(0))
+    assert a.shape == (6,)
+    state, _ = env.reset_env(jax.random.key(1), params)
+    state, _, r, d, _ = env.step_env(jax.random.key(2), state, a, params)
+    assert jnp.isfinite(r).all()

@@ -161,3 +161,29 @@ def test_lqr_system_construction_close_to_reference():
 
     a_expm_ours = np.asarray(jax.scipy.linalg.expm(0.01 * jnp.asarray(a_sys)))
     np.testing.assert_allclose(a_expm_ours, a_expm_ref, atol=1e-8)
+
+
+def test_shepherding_observation_space_matches_obs():
+    """The space describes the ACTUAL 4-feature obs (the reference declares
+    nx=3 but hstacks the identity column — the declaration is the bug)."""
+    env, params = gft.make("Shepherding-v0")
+    state, (values, adj) = env.reset_env(jax.random.key(0), params)
+    assert env.observation_space(params).shape == tuple(values.shape)
+
+
+def test_lqr_cached_gain_matches_recompute():
+    """build_lqr_system precomputes the Riccati gain; the controller's
+    fallback fixed point is bitwise-identical."""
+    from gym_flock_tpu.envs.lqr import _riccati_gain
+
+    env, params = gft.make("LQR-v0")
+    sys = params.system
+    np.testing.assert_array_equal(
+        np.asarray(sys.k_gain), np.asarray(_riccati_gain(sys))
+    )
+    # controller with the cache stripped == controller with it
+    state, _ = env.reset_env(jax.random.key(0), params)
+    u_cached = env.controller(state, params)
+    p_nok = params.replace(system=sys.replace(k_gain=None))
+    u_fallback = env.controller(state, p_nok)
+    np.testing.assert_array_equal(np.asarray(u_cached), np.asarray(u_fallback))

@@ -108,12 +108,13 @@ def _mat(n, default=50.0):
     return tm
 
 
-def path_cheapest_arc_python(tm, n_vehicles, budget):
+def path_cheapest_arc_python(tm, n_vehicles, budget, init_loc=None):
     """Independent Python model of OR-Tools' PATH_CHEAPEST_ARC construction
     (docs: extend each route from its last node with the cheapest feasible
     arc, lowest node index on ties; vehicles sequentially; int64 costs;
-    route time capped at budget).  The differential oracle for the C++
-    mode."""
+    route time capped at budget), plus the reference's route-to-robot
+    reassignment by first-stop matching (vrp_solver.py:144-146) when
+    ``init_loc`` is given.  The differential oracle for the C++ mode."""
     n = tm.shape[0]
     routed = np.zeros(n, dtype=bool)
     routed[0] = True
@@ -137,6 +138,18 @@ def path_cheapest_arc_python(tm, n_vehicles, budget):
             used += best
             last = best_node
         routes.append(route)
+    if init_loc is not None:
+        assigned = [[] for _ in range(n_vehicles)]
+        taken = [False] * n_vehicles
+        for route in routes:
+            if not route:
+                continue
+            for r_i, loc in enumerate(int(i) for i in init_loc):
+                if loc == route[0] and not taken[r_i]:
+                    assigned[r_i] = route
+                    taken[r_i] = True
+                    break
+        return assigned
     return routes
 
 
@@ -225,9 +238,12 @@ def test_cheapest_arc_route_equality_on_real_graphs(graph_seed, n_robots):
         np.asarray(spec.graph_cost), visited, None, robot_loc, n_t
     )
     got = solve_vrp_raw(tm, pen, init, max_route_time=75.0, mode="cheapest_arc")
-    want = path_cheapest_arc_python(tm, n_robots, 75)
+    want = path_cheapest_arc_python(tm, n_robots, 75, init_loc=init)
     assert got == want
-    # sanity: routes start at init locations when non-empty
-    for r in got:
+    # route-to-ROBOT assignment: a non-empty route starts at ITS robot's
+    # own init location (the reference's first-stop matching,
+    # vrp_solver.py:144-146) — robot_loc above is an unsorted draw, so
+    # this fails without the reassignment
+    for r_i, r in enumerate(got):
         if r:
-            assert r[0] in set(init.tolist())
+            assert r[0] == int(init[r_i]), (r_i, r[0], init)
