@@ -887,9 +887,11 @@ class LargeFlockingEnv(FlockingRelativeEnv):
             return flocking_sums(x, params.comm_radius, params.comm_radius2)
         # expert channels (10/11: adjacency-masked grad sums) live in the
         # "full" set of the cross-block kernel
+        from gym_flock_tpu.ops.pallas_flocking import mosaic_supported
+
         return flocking_sums_block(
             x, x, 0, 0, params.comm_radius, params.comm_radius2,
-            interpret=jax.default_backend() == "cpu", channels="full",
+            interpret=not mosaic_supported(), channels="full",
         )
 
     def _unpack_sums(self, s, x, centralized):

@@ -63,6 +63,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def mosaic_supported() -> bool:
+    """Compiled Mosaic (Pallas) lowers only on TPU backends; every auto
+    route and interpret default in this package gates on this so GPU and
+    CPU backends take the XLA / interpreter paths unmodified."""
+    return jax.default_backend() == "tpu"
+
+
 __all__ = [
     "flocking_sums",
     "flocking_sums_block",
@@ -199,7 +207,7 @@ def flocking_sums(
     if interpret:
         return _flocking_sums_impl(x, comm_radius, comm_radius2, interpret=True)
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        impl = "pallas" if mosaic_supported() else "xla"
     if impl == "xla":
         return _flocking_sums_xla(x, comm_radius, comm_radius2)
     scal = jnp.asarray(
@@ -243,7 +251,7 @@ def turner_controller_large(
         # (flocking_sums computes the cheaper pure-sum core set)
         s = flocking_sums_block(
             x, x, 0, 0, comm_radius, comm_radius2,
-            interpret=interpret or jax.default_backend() == "cpu",
+            interpret=interpret or not mosaic_supported(),
             channels="full",
         )
         s_gx, s_gy = s[:, 10], s[:, 11]
@@ -775,7 +783,7 @@ def adjacency_matmul(
     """
     # compiled Pallas only lowers on TPU; fall back to the interpreter off
     # it so large-env models run (slowly) on CPU/GPU unmodified
-    interpret = interpret or jax.default_backend() == "cpu"
+    interpret = interpret or not mosaic_supported()
     scal = jnp.asarray([comm_radius2], jnp.result_type(x.dtype))
     return _diff_adj_matmul_for(mean_pool, interpret)(x, h, scal)
 

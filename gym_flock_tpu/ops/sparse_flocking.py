@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from gym_flock_tpu.ops.pallas_flocking import N_OUT
+from gym_flock_tpu.ops.pallas_flocking import N_OUT, mosaic_supported
 
 __all__ = [
     "morton_order",
@@ -351,7 +351,7 @@ def _sparse_sums_pallas(xs: jax.Array, table: jax.Array, comm_radius, comm_radiu
 
 def _resolve_impl(impl: str, interpret: bool) -> str:
     if impl == "auto":
-        return "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
+        return "pallas" if (mosaic_supported() or interpret) else "xla"
     return impl
 
 
@@ -396,7 +396,7 @@ def _dense_path_batched(xb, comm_radius, comm_radius2, interpret, expert):
         # is zeroed — it is not part of the sparse contract
         out = flocking_sums_block(
             xb, xb, 0, 0, comm_radius, comm_radius2,
-            interpret=interpret or jax.default_backend() == "cpu",
+            interpret=interpret or not mosaic_supported(),
             channels="full",
         )
         return out.at[..., 9].set(0.0)
@@ -412,6 +412,12 @@ def _flocking_sums_sparse_impl(
     impl: str = "auto",
     channels: str = "core",
 ):
+    if channels not in ("core", "expert"):
+        # the DENSE kernels' vocabulary is {"core", "full"}; silently
+        # treating "full" as core would zero the masked-grad channels
+        raise ValueError(
+            f"sparse channels must be 'core' or 'expert', got {channels!r}"
+        )
     expert = channels == "expert"
 
     squeeze = x.ndim == 2
@@ -565,6 +571,12 @@ def _flocking_sums_sparse_verlet_impl(
     sparse channel sums run through the shared :func:`_sparse_path_batched`
     as ONE kernel over the batch.
     """
+    if channels not in ("core", "expert"):
+        # the DENSE kernels' vocabulary is {"core", "full"}; silently
+        # treating "full" as core would zero the masked-grad channels
+        raise ValueError(
+            f"sparse channels must be 'core' or 'expert', got {channels!r}"
+        )
     expert = channels == "expert"
     squeeze = x.ndim == 2
     xb = x[None] if squeeze else x
@@ -832,7 +844,7 @@ def _sparse_adj_raw_impl(
     """
     if impl == "auto":
         # interpret forces the (interpreted) pallas path; real CPU takes XLA
-        impl = "xla" if jax.default_backend() == "cpu" and not interpret else "pallas"
+        impl = "pallas" if (mosaic_supported() or interpret) else "xla"
 
     squeeze = x.ndim == 2
     xb = x[None] if squeeze else x
@@ -863,7 +875,9 @@ def _sparse_adj_raw_impl(
         inv = jax.vmap(
             lambda p: jnp.zeros((n,), jnp.int32).at[p].set(jnp.arange(n, dtype=jnp.int32))
         )(perm_)
-        return take(out_s, inv), take(deg_s, inv)
+        # branch contract: out in h.dtype, deg in f32 (the dense fallback's
+        # degree is always f32; lax.cond requires identical branch avals)
+        return take(out_s, inv).astype(hb.dtype), take(deg_s, inv).astype(jnp.float32)
 
     def dense_path(operands):
         # pathological clustering: whole-batch dense fallback (see
@@ -874,12 +888,16 @@ def _sparse_adj_raw_impl(
             _zero_offs,
         )
 
-        if interpret or jax.default_backend() == "cpu":
-            return _adj_matmul_impl(
+        if interpret or not mosaic_supported():
+            out_d, deg_d = _adj_matmul_impl(
                 xb, xb, hb, _zero_offs(), comm_radius2, mean_pool=False,
                 interpret=True, return_deg=True,
             )
-        return _adj_block_vmappable_for(None)(xb, xb, hb, _zero_offs(), scal)
+        else:
+            out_d, deg_d = _adj_block_vmappable_for(None)(
+                xb, xb, hb, _zero_offs(), scal
+            )
+        return out_d.astype(hb.dtype), deg_d.astype(jnp.float32)
 
     out, deg = jax.lax.cond(
         jnp.any(overflow), dense_path, sparse_path, (perm, table)

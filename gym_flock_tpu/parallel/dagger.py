@@ -135,6 +135,15 @@ class DaggerTrainer:
 
         # ---- aggregate: rolling write (wraps at capacity)
         cap = self.capacity
+        # a single scatter with duplicate indices would pair one sample's
+        # state with another's expert label (per-key winners undefined) —
+        # same guard as CoverageDaggerTrainer; make_sharded_iteration's
+        # per-device capacity is cap // n_devices, so this also bounds the
+        # sharded collection
+        assert n_new <= cap, (
+            f"n_envs*n_steps={n_new} exceeds buffer capacity={cap}; "
+            f"raise capacity or collect less per iteration"
+        )
         pos = state.write_pos
         idx = (pos + jnp.arange(n_new)) % cap
         buffer_x = state.buffer_x.at[idx].set(xs)

@@ -32,7 +32,6 @@ def _resolve_policy(env: Env, policy):
             )
         return lambda key, state, obs, params: env.controller(state, params)
     if policy == "random":
-        space = None
 
         def random_policy(key, state, obs, params):
             return env.action_space(params).sample(key)

@@ -58,7 +58,7 @@ def collect_flocking_batch(env: Env, params, key: jax.Array, n_envs: int, n_step
     return flat(feats), flat(adj), flat(acts)
 
 
-def make_dp_train_step(tx, local_loss_fn, mesh=None, n_shards: int = None):
+def make_dp_train_step(tx, local_loss_fn, mesh=None):
     """Generic data-parallel train step over a 1-D mesh.
 
     ``local_loss_fn(params, key) -> loss`` computes this device's loss from

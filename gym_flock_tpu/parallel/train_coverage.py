@@ -219,9 +219,10 @@ class CoverageImitationTrainer:
         acc = jnp.mean(jax.vmap(acc_one)(batch))
 
         def rollout(key, use_policy):
-            state, obs = self.env.reset_env(key, env_params)
+            k_reset, k_steps = jax.random.split(key)
+            state, obs = self.env.reset_env(k_reset, env_params)
 
-            def body(carry, _):
+            def body(carry, key_t):
                 state, obs = carry
                 if use_policy:
                     g = self._graph(obs)
@@ -230,10 +231,17 @@ class CoverageImitationTrainer:
                     action = jnp.argmax(logits, axis=1)
                 else:
                     action = self.env.controller(state, env_params)
-                state, obs, r, _, _ = self.env.step_env(key, state, action, env_params)
+                # fresh key per step: reusing the rollout key made per-step
+                # env randomness (e.g. revisit_nodes flips) identical at
+                # every timestep
+                state, obs, r, _, _ = self.env.step_env(
+                    key_t, state, action, env_params
+                )
                 return (state, obs), r
 
-            _, rs = jax.lax.scan(body, (state, obs), None, length=n_steps)
+            _, rs = jax.lax.scan(
+                body, (state, obs), jax.random.split(k_steps, n_steps)
+            )
             return jnp.sum(rs)
 
         keys = jax.random.split(k_roll, n_envs)

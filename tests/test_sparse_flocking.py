@@ -487,3 +487,30 @@ def test_batch_expert_rollout_verlet_rebuilds():
             a, b = np.asarray(traj[k][i]), np.asarray(traj_i[k])
             scale = 1.0 + np.abs(b)
             assert float(np.max(np.abs(a - b) / scale)) < 1e-4, k
+
+
+def test_sparse_adj_bf16_h_cpu_branch_dtypes():
+    """adjacency_matmul_sparse with a bf16 H on the host backend: the
+    sparse/dense cond branches must produce identical avals (deg was
+    bf16 on the sparse path and f32 on the dense fallback — a trace-time
+    TypeError)."""
+    from gym_flock_tpu.ops.sparse_flocking import adjacency_matmul_sparse
+
+    x = _swarm(jax.random.key(70), 256, 8.0)
+    h = jax.random.normal(jax.random.key(71), (256, 8), jnp.bfloat16)
+    out = adjacency_matmul_sparse(x, h, CR2)
+    assert out.dtype == jnp.bfloat16 and out.shape == (256, 8)
+    # grad path too (the custom VJP reruns the same kernel on dy)
+    g = jax.grad(lambda hh: jnp.sum(
+        adjacency_matmul_sparse(x, hh, CR2).astype(jnp.float32)))(h)
+    assert g.shape == h.shape
+
+
+def test_sparse_channels_vocabulary_validated():
+    """The dense kernels' channels='full' must raise, not silently zero
+    the masked-grad channels."""
+    from gym_flock_tpu.ops.sparse_flocking import flocking_sums_sparse
+
+    x = _swarm(jax.random.key(72), 256, 8.0)
+    with pytest.raises(ValueError, match="core.*expert"):
+        flocking_sums_sparse(x, CR, CR2, channels="full")
