@@ -4,3 +4,4 @@ from gym_flock_tpu.compat.gym_api import (
     load_cfg_section,
     make_legacy,
 )
+from gym_flock_tpu.compat.gymnasium_api import GymnasiumEnv, make_gymnasium
