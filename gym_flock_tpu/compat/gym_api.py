@@ -209,13 +209,18 @@ class LegacyEnv:
         return np.array(self._queue[0]["action"])
 
     def render(self, mode: str = "human"):
-        if mode != "human":
-            return
+        if mode not in ("human", "rgb_array"):
+            return None
         from gym_flock_tpu.render.plot import get_renderer
 
         if self._renderer is None:
             self._renderer = get_renderer(self.env_id, self.env, self.params)
         self._renderer.draw(self._state)
+        if mode == "rgb_array":
+            fig = self._renderer.fig
+            buf = np.asarray(fig.canvas.buffer_rgba())
+            return buf[..., :3].copy()
+        return None
 
     def close(self):
         if self._renderer is not None:

@@ -14,14 +14,33 @@ This module provides that surface without depending on the ``gymnasium``
 package: it wraps :class:`~gym_flock_tpu.compat.gym_api.LegacyEnv` (which
 owns the speculative controller/step pipelining, so the modern facade gets
 the same single-stream throughput) and adds the episode-boundary split the
-modern API requires:
+modern API requires.
 
-* ``terminated`` — the env's own done flag (MDP-terminal: e.g. coverage
-  all-targets-visited or its in-env episode length, reference
-  coverage.py:357);
-* ``truncated`` — the registration-level ``max_episode_steps`` time limit
-  (reference gym_flock/__init__.py), applied exactly like gymnasium's
-  ``TimeLimit`` wrapper: a step counter outside the env.
+Terminated/truncated semantics per env family
+---------------------------------------------
+The reference envs fall into three groups, and a faithful Gymnasium
+migration must split their single ``done`` flag differently:
+
+* **time-driven** (all flocking variants, shepherding, formation, LQR,
+  FlockingMulti): the env's own ``done`` is purely ``time >= max_steps``
+  — a time limit baked into the env (the reference versions always return
+  ``done=False`` and rely on gym's ``TimeLimit``; e.g. reference
+  flocking_relative.py:91-109 never sets done).  Surfacing it as
+  ``terminated`` would break value bootstrapping, so here env-done maps to
+  ``truncated`` and ``terminated`` is always ``False``.
+* **mixed** (the legacy Mapping family): ``done`` is
+  ``all-targets-observed OR time >= max_steps`` (reference
+  old/mapping.py:160-170).  The all-observed component is MDP-terminal;
+  the time component is truncation.  The two are split by comparing the
+  elapsed step count against the env's own ``params.max_steps``.
+* **terminal** (the coverage family): ``done`` is
+  ``all-visited OR step == episode_length`` where the step counter is part
+  of the *observation* (reference coverage.py:329, :357) — the time limit
+  is genuinely Markov-terminal, so env-done maps to ``terminated``.
+
+``truncated`` additionally fires from the registration-level
+``max_episode_steps`` (reference gym_flock/__init__.py), applied exactly
+like gymnasium's ``TimeLimit`` wrapper: a step counter outside the env.
 """
 from __future__ import annotations
 
@@ -35,12 +54,25 @@ from gym_flock_tpu.core.registry import registry as _registry
 __all__ = ["GymnasiumEnv", "make_gymnasium"]
 
 
+def _done_semantics(env_id: str) -> str:
+    """Classify an env id's native done flag (see module docstring)."""
+    if env_id == "MappingAirsim-v0" or env_id.startswith(("Coverage", "Explore")):
+        return "terminal"
+    if env_id.startswith("Mapping"):
+        return "mixed"
+    return "time"
+
+
 class GymnasiumEnv:
     """``reset(seed=...) -> (obs, info)`` / 5-tuple ``step`` facade.
 
     Wraps a :class:`LegacyEnv`; the expert is still reachable as
     ``env.controller(...)`` and every other legacy attribute (``params``,
     ``params_from_cfg``, ``update_state``, ...) forwards through.
+
+    Note: ``np_random`` is the legacy ``numpy.random.RandomState`` (the
+    reference's gym-0.11 RNG type), not Gymnasium's
+    ``numpy.random.Generator``.
     """
 
     def __init__(
@@ -54,6 +86,8 @@ class GymnasiumEnv:
         self.render_mode = render_mode
         self._elapsed = 0
         self._needs_reset = True
+        self._ever_seeded = False
+        self._done_kind = _done_semantics(getattr(legacy, "env_id", "") or "")
 
     # -- gymnasium core surface -------------------------------------------
 
@@ -62,6 +96,13 @@ class GymnasiumEnv:
     ) -> Tuple[Any, Dict]:
         if seed is not None:
             self._legacy.seed(seed)
+            self._ever_seeded = True
+        elif not self._ever_seeded:
+            # Gymnasium's unseeded default is fresh OS entropy; the legacy
+            # facade would otherwise start every process at key(0) and
+            # silently correlate parallel workers.
+            self._legacy.seed(int(np.random.SeedSequence().entropy) & 0x7FFFFFFF)
+            self._ever_seeded = True
         obs = self._legacy.reset()
         self._elapsed = 0
         self._needs_reset = False
@@ -75,11 +116,23 @@ class GymnasiumEnv:
         )
         obs, reward, done, info = self._legacy.step(action)
         self._elapsed += 1
-        terminated = bool(done)
-        truncated = bool(
+        done = bool(done)
+        limit_hit = bool(
             self.max_episode_steps is not None
             and self._elapsed >= self.max_episode_steps
         )
+        if self._done_kind == "time":
+            # env-done is a pure time limit -> truncation, never terminal
+            terminated = False
+            truncated = done or limit_hit
+        elif self._done_kind == "mixed":
+            env_limit = getattr(self._legacy.params, "max_steps", None)
+            time_hit = env_limit is not None and self._elapsed >= int(env_limit)
+            terminated = done and not time_hit
+            truncated = (done and time_hit) or limit_hit
+        else:  # "terminal": coverage — in-env step count is part of the obs
+            terminated = done
+            truncated = limit_hit
         if terminated or truncated:
             self._needs_reset = True
         if self.render_mode == "human":
@@ -87,7 +140,9 @@ class GymnasiumEnv:
         return obs, float(reward), terminated, truncated, dict(info)
 
     def render(self):
-        return self._legacy.render()
+        if self.render_mode is None:
+            return None
+        return self._legacy.render(self.render_mode)
 
     def close(self):
         return self._legacy.close()
@@ -116,8 +171,12 @@ class GymnasiumEnv:
 
     def __getattr__(self, name):
         # fall through to the legacy facade for everything else
-        # (params, params_from_cfg, update_state, observe, env_id, ...)
-        return getattr(self._legacy, name)
+        # (params, params_from_cfg, update_state, observe, env_id, ...).
+        # Private names never forward: copy/pickle reconstruct instances
+        # without __init__, and a _legacy lookup here would recurse.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(object.__getattribute__(self, "_legacy"), name)
 
 
 def make_gymnasium(
@@ -131,7 +190,10 @@ def make_gymnasium(
     ``max_episode_steps`` defaults to the registered limit (the reference's
     ``register(..., max_episode_steps=...)`` values, preserved in
     ``core.registry``); pass an int to override or ``0`` to disable the
-    time limit entirely.
+    time limit entirely.  ``render_mode`` accepts ``None`` (render() is a
+    no-op), ``"human"`` (interactive matplotlib, auto-rendered on
+    reset/step like Gymnasium) or ``"rgb_array"`` (explicit ``render()``
+    returns an HxWx3 uint8 frame).
     """
     legacy = make_legacy(env_id, **kwargs)
     if max_episode_steps is None:

@@ -78,6 +78,92 @@ def test_coverage_terminates_via_env_done():
     assert terminated and not truncated
 
 
+def test_time_driven_done_is_truncation_at_registered_boundary():
+    """ADVICE r2 (high): flocking-family done is purely time-driven
+    (done = time >= params.max_steps, flocking.py:486) while the reference
+    env always returns done=False and relies on gym's TimeLimit — at the
+    registered boundary the modern API must report truncated, never
+    terminated."""
+    env = make_gymnasium(
+        "FlockingRelative-v0", n_agents=10, max_steps=5, max_episode_steps=5
+    )
+    env.reset(seed=0)
+    for _ in range(5):
+        _, _, terminated, truncated, _ = env.step(env.controller())
+    assert truncated and not terminated
+    # env-internal limit below the wrapper limit: still a time limit
+    env2 = make_gymnasium(
+        "FlockingRelative-v0", n_agents=10, max_steps=3, max_episode_steps=10
+    )
+    env2.reset(seed=0)
+    term = trunc = False
+    for _ in range(3):
+        _, _, term, trunc, _ = env2.step(env2.controller())
+    assert trunc and not term
+
+
+def test_mapping_mixed_done_semantics():
+    """Mapping done = all-observed OR time (old/mapping.py): the terminal
+    component maps to terminated, the time component to truncated."""
+    zero_u = np.zeros((8, 2), dtype=np.float32)
+    # time branch
+    env = make_gymnasium("Mapping-v0", n_agents=8, max_steps=3)
+    env.reset(seed=0)
+    term = trunc = False
+    for _ in range(3):
+        _, _, term, trunc, _ = env.step(zero_u)
+        if term or trunc:
+            break
+    assert trunc and not term
+    # terminal branch: a huge obs radius observes every target on step 1
+    env2 = make_gymnasium("Mapping-v0", n_agents=8, max_steps=100, obs_rad=1e6)
+    env2.reset(seed=0)
+    _, _, term2, trunc2, _ = env2.step(zero_u)
+    assert term2 and not trunc2
+
+
+def test_render_mode_contract():
+    env = make_gymnasium("FlockingRelative-v0", n_agents=8, render_mode=None)
+    env.reset(seed=0)
+    assert env.render() is None  # ADVICE r2: gate on render_mode
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    env_rgb = make_gymnasium(
+        "FlockingRelative-v0", n_agents=8, render_mode="rgb_array"
+    )
+    env_rgb.reset(seed=0)
+    frame = env_rgb.render()
+    assert frame is not None and frame.ndim == 3 and frame.shape[2] == 3
+    assert frame.dtype == np.uint8
+    env_rgb.close()
+
+
+def test_getattr_no_recursion_on_copy():
+    import copy
+
+    env = make_gymnasium("FlockingRelative-v0", n_agents=8)
+    env.reset(seed=0)
+    clone = copy.copy(env)  # reconstructs without __init__ under __reduce__
+    assert clone.max_episode_steps == env.max_episode_steps
+    with pytest.raises(AttributeError):
+        env.__getattr__("_does_not_exist")
+    with pytest.raises(AttributeError):
+        env.no_such_attribute_anywhere
+
+
+def test_unseeded_reset_uses_fresh_entropy():
+    a = make_gymnasium("FlockingRelative-v0", n_agents=10)
+    b = make_gymnasium("FlockingRelative-v0", n_agents=10)
+    oa, _ = a.reset()
+    ob, _ = b.reset()
+    # 31 bits of entropy each: identical episodes would mean correlation
+    assert not np.array_equal(np.asarray(oa[0]), np.asarray(ob[0]))
+    # a second unseeded reset continues the same env's stream (no reseed)
+    oa2, _ = a.reset()
+    assert not np.array_equal(np.asarray(oa[0]), np.asarray(oa2[0]))
+
+
 def test_legacy_passthrough_surface():
     env = make_gymnasium("Coverage-v0", n_graphs=1)
     env.reset(seed=0)
