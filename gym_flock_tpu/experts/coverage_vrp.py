@@ -66,11 +66,13 @@ class CoverageVRPPolicy:
     """
 
     def __init__(self, params: CoverageParams, horizon: int = -1,
-                 mode: str = "improve"):
+                 mode: str = "or_default"):
         self.params = params
         self.horizon = horizon
-        # "cheapest_arc" = label-reproducible PATH_CHEAPEST_ARC construction
-        # (see experts.vrp.solve_vrp_raw); "improve" = best solution quality
+        # "or_default" = the reference pipeline (PATH_CHEAPEST_ARC + OR-Tools
+        # default greedy-descent local search); "improve" = best solution
+        # quality; "cheapest_arc" = construction only
+        # (see experts.vrp.solve_vrp_raw)
         self.mode = mode
         self.cached: Optional[List[List[int]]] = None
         self._rng = np.random.RandomState(0)

@@ -58,6 +58,8 @@ def _load() -> ctypes.CDLL:
         lib.vrp_solve.argtypes = argtypes
         lib.vrp_solve_cheapest_arc.restype = ctypes.c_int
         lib.vrp_solve_cheapest_arc.argtypes = argtypes
+        lib.vrp_solve_or_default.restype = ctypes.c_int
+        lib.vrp_solve_or_default.argtypes = argtypes
         _LIB = lib
     return _LIB
 
@@ -75,22 +77,24 @@ def solve_vrp_raw(
     penalties: np.ndarray,
     init_loc: np.ndarray,
     max_route_time: float,
-    mode: str = "improve",
+    mode: str = "or_default",
 ) -> List[List[int]]:
     """Solve the depot-augmented VRP; returns per-vehicle node sequences
     (1-based node ids as in the depot-augmented matrix, depot excluded).
 
     ``mode``:
-      * ``"improve"`` (default) — cheapest-arc + regret constructions with
+      * ``"or_default"`` (default) — the reference pipeline end to end:
+        PATH_CHEAPEST_ARC construction followed by OR-Tools' default
+        first-accept greedy-descent local search (relocate / exchange /
+        cross / 2-opt / or-opt / make-active / make-inactive / swap-active,
+        int64 costs, deterministic enumeration, stop at the first local
+        optimum — operator-for-operator derivation in vrp_solver.cc);
+      * ``"improve"`` — cheapest-arc + regret constructions with
         2-opt / relocate / or-opt improvement; best solution quality
         (measured +21% reward over the greedy expert);
       * ``"cheapest_arc"`` — OR-Tools PATH_CHEAPEST_ARC first-solution
         construction with exact arc ordering and tie-breaks (reference
-        vrp_solver.py:115-134), no improvement passes: the deterministic,
-        label-reproducible mode for imitation datasets.  Residual
-        difference vs the reference pipeline: OR-Tools' default search
-        parameters additionally run greedy-descent local search on top of
-        this construction (see vrp_solver.cc for the derivation).
+        vrp_solver.py:115-134), no local search.
     """
     lib = _load()
     n = time_matrix.shape[0]
@@ -103,6 +107,8 @@ def solve_vrp_raw(
 
     if mode == "cheapest_arc":
         fn = lib.vrp_solve_cheapest_arc
+    elif mode == "or_default":
+        fn = lib.vrp_solve_or_default
     elif mode == "improve":
         fn = lib.vrp_solve
     else:
@@ -123,7 +129,7 @@ def solve_vrp_raw(
     for v in range(num_vehicles):
         row = out[v]
         routes.append([int(x) for x in row[row >= 0]])
-    if mode == "cheapest_arc":
+    if mode in ("cheapest_arc", "or_default"):
         # the construction's vehicle v claims the lowest-indexed UNCLAIMED
         # init location, not necessarily vehicle v's own; the reference
         # reassigns each route to the robot whose init matches its first

@@ -247,3 +247,210 @@ def test_cheapest_arc_route_equality_on_real_graphs(graph_seed, n_robots):
     for r_i, r in enumerate(got):
         if r:
             assert r[0] == int(init[r_i]), (r_i, r[0], init)
+
+
+# ---------------------------------------------------------------------------
+# OR-Tools-default greedy-descent local search (reference vrp_solver.py:134
+# runs DefaultRoutingSearchParameters: PATH_CHEAPEST_ARC construction + a
+# first-accept greedy descent).  Hand-solvable instances where construction
+# and descent provably differ, plus local-optimum property checks.
+# ---------------------------------------------------------------------------
+
+
+def _objective(tm, pen, routes, n):
+    """RoutingModel objective: int64 arc costs + penalties of dropped nodes."""
+    served = set()
+    total = 0
+    for r in routes:
+        prev = 0
+        for node in r:
+            total += int(tm[prev, node])
+            served.add(node)
+            prev = node
+    for node in range(1, n):
+        if node not in served:
+            total += int(pen[node])
+    return total
+
+
+def _route_time(tm, r):
+    t, prev = 0, 0
+    for node in r:
+        t += int(tm[prev, node])
+        prev = node
+    return t
+
+
+def test_or_default_make_inactive_drops_overpriced_node():
+    """Serving node 2 costs 600 > its 500 drop penalty: the construction
+    appends it (cheapest feasible arc), the descent's MakeInactive drops it.
+    Construction and descent provably differ."""
+    tm = np.array([
+        [0.0, 0.0, 100000.0],
+        [0.0, 0.0, 600.0],
+        [0.0, 600.0, 0.0],
+    ])
+    pen = np.array([0.0, 0.0, 500.0])
+    init = np.array([1], dtype=np.int32)
+    constructed = solve_vrp_raw(tm, pen, init, 1000.0, mode="cheapest_arc")
+    descended = solve_vrp_raw(tm, pen, init, 1000.0, mode="or_default")
+    assert constructed == [[1, 2]]  # objective 600
+    assert descended == [[1]]       # objective 500: strictly better
+    assert _objective(tm, pen, descended, 3) == 500
+    assert _objective(tm, pen, constructed, 3) == 600
+
+
+def test_or_default_exchange_fixes_greedy_order():
+    """Asymmetric arcs where the cheapest FIRST arc strands the route:
+    construction takes 1->2->3 (cost 1+10=11), the descent's Exchange swap
+    reaches 1->3->2 (cost 2+1=3)."""
+    tm = np.array([
+        [0.0, 0.0, 1e5, 1e5],
+        [0.0, 0.0, 1.0, 2.0],
+        [0.0, 5.0, 0.0, 10.0],
+        [0.0, 5.0, 1.0, 0.0],
+    ])
+    pen = np.array([0.0, 0.0, 500.0, 500.0])
+    init = np.array([1], dtype=np.int32)
+    constructed = solve_vrp_raw(tm, pen, init, 100.0, mode="cheapest_arc")
+    descended = solve_vrp_raw(tm, pen, init, 100.0, mode="or_default")
+    assert constructed == [[1, 2, 3]]
+    assert descended == [[1, 3, 2]]
+    assert _objective(tm, pen, descended, 4) < _objective(tm, pen, constructed, 4)
+
+
+def test_or_default_cross_rescues_starved_vehicle():
+    """Sequential construction lets vehicle 0 sweep the whole line and
+    starves vehicle 1 (upstream this is the AssertionError->reset path,
+    test.py:53-59); the descent's Cross moves the [4,5,6] tail onto
+    vehicle 1's free depot arc."""
+    n = 7
+    tm = np.abs(np.subtract.outer(np.arange(n), np.arange(n))).astype(float)
+    tm[0, :] = 100000.0
+    tm[:, 0] = 0.0
+    init = np.array([1, 4], dtype=np.int32)
+    tm[0, init] = 0.0
+    pen = np.array([0, 0, 500, 500, 0, 500, 500], dtype=float)
+    constructed = solve_vrp_raw(tm, pen, init, 10.0, mode="cheapest_arc")
+    descended = solve_vrp_raw(tm, pen, init, 10.0, mode="or_default")
+    assert constructed == [[1, 2, 3, 4, 5, 6], []]
+    assert descended == [[1, 2, 3], [4, 5, 6]]
+
+
+def _random_instance(seed, n=9, n_vehicles=2, budget=40):
+    rng = np.random.RandomState(seed)
+    c = rng.randint(1, 20, size=(n, n)).astype(float)
+    c = np.triu(c, 1)
+    c = c + c.T  # symmetric, zero diagonal
+    tm = c.copy()
+    tm[0, :] = 100000.0
+    tm[:, 0] = 0.0
+    init = rng.choice(np.arange(1, n), size=n_vehicles, replace=False).astype(
+        np.int32
+    )
+    tm[0, init] = 0.0
+    pen = np.where(rng.rand(n) < 0.6, 500.0, 0.0)
+    pen[0] = 0.0
+    return tm, pen, init, budget
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_or_default_objective_never_worse_than_construction(seed):
+    tm, pen, init, budget = _random_instance(seed)
+    n = tm.shape[0]
+    constructed = solve_vrp_raw(tm, pen, init, budget, mode="cheapest_arc")
+    descended = solve_vrp_raw(tm, pen, init, budget, mode="or_default")
+    assert _objective(tm, pen, descended, n) <= _objective(
+        tm, pen, constructed, n
+    )
+    for r in descended:
+        assert _route_time(tm, r) <= budget
+        assert len(set(r)) == len(r)
+    flat = [x for r in descended for x in r]
+    assert len(set(flat)) == len(flat)  # no node on two routes
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_or_default_stops_at_local_optimum(seed):
+    """Brute-force verification of the stop condition: no single relocate,
+    exchange, make-active or make-inactive move on the returned solution is
+    strictly improving and feasible."""
+    tm, pen, init, budget = _random_instance(seed)
+    n = tm.shape[0]
+    routes = solve_vrp_raw(tm, pen, init, budget, mode="or_default")
+    base = _objective(tm, pen, routes, n)
+    nv = len(routes)
+
+    def feasible(rs):
+        return all(_route_time(tm, r) <= budget for r in rs)
+
+    def check(rs):
+        assert not (
+            feasible(rs) and _objective(tm, pen, rs, n) < base
+        ), f"improving move missed: {rs} ({_objective(tm, pen, rs, n)} < {base})"
+
+    served = {x for r in routes for x in r}
+    dropped = [x for x in range(1, n) if x not in served]
+
+    for v1 in range(nv):
+        for i in range(len(routes[v1])):
+            x = routes[v1][i]
+            without = [list(r) for r in routes]
+            del without[v1][i]
+            # make-inactive
+            check(without)
+            # relocate
+            for v2 in range(nv):
+                for pos in range(len(without[v2]) + 1):
+                    cand = [list(r) for r in without]
+                    cand[v2].insert(pos, x)
+                    check(cand)
+            # exchange
+            for v2 in range(nv):
+                for j in range(len(routes[v2])):
+                    if (v2, j) <= (v1, i):
+                        continue
+                    cand = [list(r) for r in routes]
+                    cand[v1][i], cand[v2][j] = cand[v2][j], cand[v1][i]
+                    check(cand)
+    # make-active
+    for x in dropped:
+        for v2 in range(nv):
+            for pos in range(len(routes[v2]) + 1):
+                cand = [list(r) for r in routes]
+                cand[v2].insert(pos, x)
+                check(cand)
+
+
+def test_or_default_policy_runs_end_to_end():
+    """CoverageVRPPolicy default mode is the reference pipeline
+    (or_default); one episode on a real bank yields valid discrete actions
+    and at least the greedy expert's reward."""
+    from gym_flock_tpu.envs.coverage import (
+        CoverageEnv,
+        CoverageParams,
+        default_coverage_bank,
+    )
+    from gym_flock_tpu.experts.coverage_vrp import CoverageVRPPolicy
+
+    bank = default_coverage_bank(
+        n_graphs=1, n_robots=6, max_nodes=500, horizon=-1, seed=3,
+        kind="coverage",
+    )
+    env = CoverageEnv()
+    params = CoverageParams(bank=bank)
+    key = jax.random.key(0)
+    state, _ = env.reset_env(key, params)
+    pol = CoverageVRPPolicy(params, horizon=-1)
+    assert pol.mode == "or_default"
+    total = 0.0
+    for _ in range(40):
+        key, k2 = jax.random.split(key)
+        u = np.asarray(pol(state))
+        assert u.shape == (params.n_robots, 1)
+        assert ((0 <= u) & (u < params.n_actions)).all()
+        state, _, r, d, _ = env.step_env(k2, state, jnp.asarray(u), params)
+        total += float(r)
+        if bool(d):
+            break
+    assert total > 0.0
