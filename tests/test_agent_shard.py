@@ -72,7 +72,7 @@ def mesh8(devices8):
     return jax.sharding.Mesh(np.asarray(devices8[:8]), ("ap",))
 
 
-@pytest.mark.parametrize("mode", ["ring", "allgather"])
+@pytest.mark.parametrize("mode", ["ring", pytest.param("allgather", marks=pytest.mark.slow)])
 def test_sums_match_dense(mesh8, mode):
     x = _swarm(jax.random.key(0))
     expected = _dense_sums(x, PARAMS)
@@ -90,7 +90,7 @@ def test_sums_match_dense(mesh8, mode):
 
 
 @pytest.mark.parametrize("centralized", [True, False])
-@pytest.mark.parametrize("mode", ["ring", "allgather"])
+@pytest.mark.parametrize("mode", ["ring", pytest.param("allgather", marks=pytest.mark.slow)])
 def test_controller_matches_dense(mesh8, mode, centralized):
     x = _swarm(jax.random.key(1))
     expected = turner_controller(x, PARAMS, centralized=centralized)
@@ -129,6 +129,7 @@ def test_adjacency_matmul_sharded(mesh8, mode, mean_pool):
     np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # XLA-tile variant; the production Pallas tile is test_fused_step_pallas_tile
 def test_fused_step_matches_dense(mesh8):
     """One sharded expert+integrate+obs+reward step == the dense env step."""
     x = _swarm(jax.random.key(3))
@@ -179,7 +180,7 @@ def test_reset_sharded_accepts_and_is_shard_count_invariant(devices8):
     assert int(jnp.min(jnp.sum(r2 < params.comm_radius2, axis=1))) >= 2
 
 
-@pytest.mark.parametrize("mode", ["ring", "allgather"])
+@pytest.mark.parametrize("mode", ["ring", pytest.param("allgather", marks=pytest.mark.slow)])
 def test_agent_sharded_rollout_2d_mesh(devices8, mode):
     """Full 2-D (dp x ap) fleet rollout runs and returns finite stats.
 
@@ -201,7 +202,7 @@ def test_agent_sharded_rollout_2d_mesh(devices8, mode):
     assert bool(jnp.isfinite(mean_r))
 
 
-@pytest.mark.parametrize("mode", ["ring", "allgather"])
+@pytest.mark.parametrize("mode", ["ring", pytest.param("allgather", marks=pytest.mark.slow)])
 def test_sums_pallas_tile_matches_dense(mesh8, mode):
     """The VMEM-tile path (ops.flocking_sums_block per ring step) under
     shard_map equals the dense kernels (interpret mode on CPU)."""
@@ -274,6 +275,7 @@ def test_adjacency_matmul_sharded_pallas_tile(mesh8, mean_pool):
     )
 
 
+@pytest.mark.slow  # both tiles; the sharded aggregation fwd+bwd is covered by test_agent_sharded_train_step_matches_dense[True]
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_khop_aggregate_sharded_matches_and_differentiates(mesh8, use_pallas):
     """Sharded K-hop aggregation == dense ops.khop_aggregate, AND its
@@ -316,6 +318,7 @@ def test_khop_aggregate_sharded_matches_and_differentiates(mesh8, use_pallas):
     np.testing.assert_allclose(got_g, want_g, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # full-rollout variant; fused step + controller equivalences cover the kernels fast
 def test_agent_sharded_rollout_fused_matches_stepwise(devices8):
     """The fused rollout (carried ring-pass sums) == the per-step
     flocking_step_sharded loop from the same reset."""

@@ -171,6 +171,7 @@ def test_revisit_nodes_flag_reverts_targets():
     assert reverted > 0, "no visited target ever reverted in 120 steps"
 
 
+@pytest.mark.slow  # one-hot-matmul expert covered fast by test_multi_graph_mm_expert_matches_gather; hide-nodes masks by test_hide_mm_discovery_masks
 @pytest.mark.parametrize("hide_nodes", [False, True])
 def test_mxu_greedy_expert_matches_gather_path(hide_nodes):
     """The one-hot-matmul greedy expert (single-graph bank, large R) is
@@ -259,8 +260,9 @@ def test_small_r_mm_expert_matches_gather():
 
 
 @pytest.mark.parametrize("env_id,mk", [
-    ("ExploreEnv-v0", dict(n_graphs=2)),   # G=2: segment-flattened operands
-    ("ExploreFullEnv-v0", dict()),          # G=1
+    # G=2 segment-flattened operands: slow tier (G=1 covers the mask path)
+    pytest.param("ExploreEnv-v0", dict(n_graphs=2), marks=pytest.mark.slow),
+    ("ExploreFullEnv-v0", dict()),          # G=1 (the flagship env)
 ])
 def test_hide_mm_discovery_masks_match_gather_path(env_id, mk):
     """The MXU discovery-mask path (one-hot matmuls over the motion block,

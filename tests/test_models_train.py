@@ -141,6 +141,7 @@ def test_action_edge_logits_gather_layout():
     )
 
 
+@pytest.mark.slow  # closed-loop improvement; DAGGER machinery covered by sharded/resume/coverage dagger tests
 def test_dagger_improves_closed_loop():
     from gym_flock_tpu.parallel import DaggerTrainer
 
@@ -165,6 +166,7 @@ def test_get_number_nodes_inverse_of_flatten():
     assert get_number_nodes(flat_dim) == params.max_nodes
 
 
+@pytest.mark.slow  # held-out-bank eval; coverage imitation covered by test_coverage_imitation_learns
 def test_coverage_policy_generalizes_to_held_out_bank():
     """Train on bank seed 0, evaluate expert-action accuracy on unseen
     graphs from bank seed 1 — must stay well above random."""
@@ -307,7 +309,10 @@ def test_dagger_resume_reproduces_uninterrupted_run(tmp_path):
     np.testing.assert_array_equal(np.asarray(s_full.buffer_x), np.asarray(s_res.buffer_x))
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize(
+    "use_pallas",
+    [pytest.param(False, marks=pytest.mark.slow), True],  # keep the production (pallas) path in the default tier
+)
 def test_agent_sharded_train_step_matches_dense(tmp_path, use_pallas):
     """The agent-axis-sharded GNN train step produces the SAME update as
     the single-device step on identical data (ring aggregation + pmean'd

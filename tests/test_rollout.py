@@ -29,6 +29,7 @@ def test_batch_rollout_vmap():
     assert len(np.unique(r[:, -1])) > 1
 
 
+@pytest.mark.slow  # sharded rollout is driver-exercised every round by dryrun_multichip; dp-mesh machinery covered fast by test_sharded_train_step_runs / test_sharded_dagger_iteration
 def test_sharded_rollout_8dev(devices8):
     env, params = gft.make("FlockingRelative-v0", n_agents=16)
     mesh = make_env_mesh("env", devices8[:8])
@@ -89,6 +90,7 @@ def test_expert_rollout_decentralized_matches_unfused():
     np.testing.assert_allclose(np.asarray(final.x), np.asarray(state.x), rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # large-N variant; sparse rollout covered in test_sparse_flocking
 def test_expert_rollout_sparse_matches_dense_large():
     """The sparse env's fused rollout (one Hilbert sort per step) tracks the
     dense-kernel env from the same reset."""
@@ -129,6 +131,16 @@ def test_batch_expert_rollout_matches_per_env():
         np.asarray(traj["u"][2]), np.asarray(tr["u"]), atol=1e-6
     )
 
+
+@pytest.mark.slow  # sharded == vmapped form; mesh machinery also covered by test_sharded_rollout coverage in dryrun_multichip and agent_shard tests
+def test_batch_expert_rollout_sharded_matches_vmapped():
+    import numpy as np
+
+    from gym_flock_tpu.parallel import batch_expert_rollout, make_env_mesh
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=16)
+    key = jax.random.key(7)
+    finals, traj = batch_expert_rollout(env, params, key, n_envs=8, n_steps=4)
     mesh = make_env_mesh("env")
     finals_s, traj_s = batch_expert_rollout(
         env, params, key, n_envs=8, n_steps=4, mesh=mesh

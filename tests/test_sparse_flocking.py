@@ -183,6 +183,7 @@ def test_sparse_reset_accept_matches_dense():
             assert got == want, (thresh, float(jnp.min(jnp.abs(x))))
 
 
+@pytest.mark.slow  # vmap routing also covered by test_sparse_adjacency_matmul_vmap_shared_operand
 def test_sparse_adjacency_matmul_vmap_routes_to_native_batch():
     """jax.vmap of the unbatched form must equal per-element calls (the
     custom_vmap rule reshapes into the native [B, N, *] batch so the
@@ -425,6 +426,7 @@ def test_verlet_pass_vmap_routes_native_batch():
         )
 
 
+@pytest.mark.slow  # batch variant; verlet semantics covered by test_verlet_rollout_matches_every_step_rebuild
 def test_batch_expert_rollout_sparse_verlet():
     """parallel.batch_expert_rollout over the sparse env with the Verlet
     table enabled (the review's headline regression: the unprotected pass
@@ -448,6 +450,7 @@ def test_batch_expert_rollout_sparse_verlet():
         assert float(np.max(np.abs(a - b) / scale)) < 1e-4
 
 
+@pytest.mark.slow  # re-jit/tracing robustness variant of the sparse rollout
 def test_sparse_expert_rollout_params_traced():
     """params may be a traced jit argument: the verlet gating branches only
     on STATIC fields (the old code crashed at `if skin <= 0.0` with the
@@ -462,6 +465,7 @@ def test_sparse_expert_rollout_params_traced():
     assert traj["u"].shape == (3, 128, 2)
 
 
+@pytest.mark.slow  # batch variant; verlet rebuild semantics covered by test_verlet_rollout_matches_every_step_rebuild[0.6-True]
 def test_batch_expert_rollout_verlet_rebuilds():
     """The BATCH-wide rebuild branch inside the custom_vmap-routed impl:
     dt=0.6 drifts agents past skin/2 nearly every step, so the batched

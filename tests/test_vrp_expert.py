@@ -57,6 +57,7 @@ def test_solver_drops_unreachable_nodes():
     assert routes[0] == [1]
 
 
+@pytest.mark.slow  # expert quality over full episodes; or_default policy test covers the component fast
 def test_vrp_expert_beats_greedy_on_coverage():
     import gym_flock_tpu as gft
     from gym_flock_tpu.envs.coverage import (
