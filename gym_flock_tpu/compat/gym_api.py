@@ -47,6 +47,8 @@ class LegacyEnv:
         self.params = params
         self.env_id = env_id
         self._state = None
+        self._key_cached = None
+        self._kd_staged = None
         self._key = jax.random.key(0)
         self._renderer = None
         self._ctrl_cache = {}
@@ -55,12 +57,36 @@ class LegacyEnv:
         self._head_served = False
         self._streak = False  # last queue fully drained by hits
         self._deep_depth = None  # sized from measured per-entry bytes
+        self._pending_reset = None  # fused-autoreset continuation (coverage)
         self.np_random = np.random.RandomState(0)
+
+    # The PRNG key is committed from queue entries as raw host key DATA and
+    # materialized into a typed key only when a device program actually
+    # needs it: wrap_key_data+asarray are eager dispatches, and paying them
+    # on every queue hit was ~15% of the single-stream hit path.
+    @property
+    def _key(self):
+        if self._key_cached is None:
+            self._key_cached = jax.random.wrap_key_data(
+                jnp.asarray(self._kd_staged)
+            )
+        return self._key_cached
+
+    @_key.setter
+    def _key(self, value):
+        self._key_cached = value
+        self._kd_staged = None
+
+    def _commit_kd(self, kd) -> None:
+        """Commit a queue entry's key split without any device dispatch."""
+        self._key_cached = None
+        self._kd_staged = kd
 
     def _flush_queue(self, keep_streak=False):
         self._queue = []
         self._queue_sig = None
         self._head_served = False
+        self._pending_reset = None
         if not keep_streak:
             self._streak = False
 
@@ -92,7 +118,7 @@ class LegacyEnv:
                 # split, so only the step split commits here.
                 self._queue.pop(0)
                 self._head_served = False
-                self._key = jax.random.wrap_key_data(jnp.asarray(entry["kd"]))
+                self._commit_kd(entry["kd"])
                 self._state = entry["state"]
                 if not self._queue:
                     self._streak = True  # fully drained -> deep lookahead
@@ -315,6 +341,15 @@ class _CoverageLegacyEnv(LegacyEnv):
     def reset(self):
         if self._vrp is not None:
             self._vrp.reset()
+        pending = self._pending_reset
+        if pending is not None:
+            # serve the reset from the fused-autoreset continuation: the
+            # queue (built across the episode boundary) stays live, so the
+            # boundary costs no device dispatch and no pipeline re-ramp
+            self._pending_reset = None
+            self._state = pending["state"]
+            self._commit_kd(pending["kd"])
+            return dict(pending["obs"])
         return super().reset()
 
     def observe(self):
@@ -328,16 +363,31 @@ class _CoverageLegacyEnv(LegacyEnv):
 
     def step(self, action):
         assert self._state is not None, "call reset() first"
+        if self._pending_reset is not None:
+            # the driver stepped past a done entry without reset(): the rest
+            # of the queue assumed the reset happened — discard everything
+            # and fall back (stream is correct: k2 was committed at the hit)
+            self._flush_queue()
+            return LegacyEnv.step(self, action)
         if self._queue and self._head_served:
             entry = self._queue[0]
             if np.array_equal(np.asarray(action), entry["action"]):
                 # hit: commit the queued transition (both splits consumed);
                 # all leaves are already host numpy (bulk-fetched at queue
-                # build), so this is dispatch-free apart from the key wrap
+                # build), so this is dispatch-free
                 self._queue.pop(0)
                 self._head_served = False
-                self._key = jax.random.wrap_key_data(jnp.asarray(entry["k2d"]))
+                self._commit_kd(entry["k2d"])
                 self._state = entry["state"]
+                if entry["done"]:
+                    # fused autoreset: the in-scan lookahead continued into
+                    # the next episode; stage the reset continuation so the
+                    # driver's reset() is served from the queue too
+                    self._pending_reset = {
+                        "state": entry["rstate"],
+                        "obs": entry["robs"],
+                        "kd": entry["k3d"],
+                    }
                 if not self._queue:
                     self._streak = True  # fully drained -> deep lookahead next
                 return (
@@ -366,6 +416,10 @@ class _CoverageLegacyEnv(LegacyEnv):
                 self.params.n_actions, size=(self.params.n_robots, 1)
             )
         if greedy:
+            if self._pending_reset is not None:
+                # controller() after a done entry without reset(): the queue
+                # assumed a reset; recompute from the committed done state
+                self._flush_queue()
             if self._queue and self._head_served:
                 # doubled controller() call: the head's split is committed;
                 # the rest of the lookahead is stale — recompute below
@@ -375,7 +429,7 @@ class _CoverageLegacyEnv(LegacyEnv):
                 # commit the controller split like an unfused call would
                 entry = self._queue[0]
                 self._head_served = True
-                self._key = jax.random.wrap_key_data(jnp.asarray(entry["k1d"]))
+                self._commit_kd(entry["k1d"])
                 return np.array(entry["action"])
 
             depth = self._SPEC_DEPTH if self._streak else 1
@@ -388,8 +442,15 @@ class _CoverageLegacyEnv(LegacyEnv):
 
                 def fused_k(state, params, key):
                     # per transition, the key stream is identical to the
-                    # unfused pair of calls: controller() consumed _split()
-                    # (k1, sub1), then step() consumed _split() (k2, sub2)
+                    # unfused sequence of calls: controller() consumed
+                    # _split() (k1, sub1), step() consumed _split()
+                    # (k2, sub2), and — only when done — the driver's
+                    # reset() consumed _split() (k3, sub3).  The in-scan
+                    # autoreset replays that exact reset so the lookahead
+                    # crosses episode boundaries instead of flushing
+                    # (coverage episodes are 75 steps, reference
+                    # coverage.py:357; without this every boundary cost a
+                    # queue flush, a reset dispatch and a pipeline re-ramp)
                     def body(carry, _):
                         state, key = carry
                         k1, sub1 = jax.random.split(key)
@@ -400,7 +461,22 @@ class _CoverageLegacyEnv(LegacyEnv):
                         st, obs, reward, done, _ = env.step_env(
                             sub2, state, action, params
                         )
-                        return (st, k2), (action, k1, k2, st, obs, reward, done)
+                        k3, sub3 = jax.random.split(k2)
+
+                        def with_reset(_):
+                            rst, robs = env.reset_env(sub3, params)
+                            return rst, robs, k3
+
+                        def without_reset(_):
+                            return st, obs, k2
+
+                        nxt, robs, knext = jax.lax.cond(
+                            done, with_reset, without_reset, None
+                        )
+                        return (nxt, knext), (
+                            action, k1, k2, st, obs, reward, done, nxt,
+                            robs, k3,
+                        )
 
                     _, outs = jax.lax.scan(
                         body, (state, key), None, length=depth
@@ -408,24 +484,28 @@ class _CoverageLegacyEnv(LegacyEnv):
                     return outs
 
                 fn = fns[depth] = jax.jit(fused_k)
-            actions, k1s, k2s, sts, obss, rewards, dones = fn(
-                self._state, self.params, self._key
+            actions, k1s, k2s, sts, obss, rewards, dones, rsts, robss, k3s = (
+                fn(self._state, self.params, self._key)
             )
             # ONE bulk fetch for the whole lookahead, then free numpy
             # slicing — per-entry device indexing would issue ~a hundred
             # eager dispatches per queue and erase the pipelining win
             # (measured 10x SLOWER).  Keys round-trip through key_data.
-            h_actions, h_k1, h_k2, h_sts, h_obss, h_rewards, h_dones = (
-                jax.device_get(
-                    (
-                        actions,
-                        jax.random.key_data(k1s),
-                        jax.random.key_data(k2s),
-                        sts,
-                        obss,
-                        rewards,
-                        dones,
-                    )
+            (
+                h_actions, h_k1, h_k2, h_sts, h_obss, h_rewards, h_dones,
+                h_rsts, h_robss, h_k3,
+            ) = jax.device_get(
+                (
+                    actions,
+                    jax.random.key_data(k1s),
+                    jax.random.key_data(k2s),
+                    sts,
+                    obss,
+                    rewards,
+                    dones,
+                    rsts,
+                    robss,
+                    jax.random.key_data(k3s),
                 )
             )
             take = lambda tree, i: jax.tree.map(lambda x: x[i], tree)
@@ -438,6 +518,10 @@ class _CoverageLegacyEnv(LegacyEnv):
                     "obs": take(h_obss, i),
                     "reward": h_rewards[i],
                     "done": h_dones[i],
+                    # autoreset continuation (meaningful only when done)
+                    "rstate": take(h_rsts, i),
+                    "robs": take(h_robss, i),
+                    "k3d": h_k3[i],
                 }
                 for i in range(depth)
             ]

@@ -470,3 +470,96 @@ def test_k_speculation_randomized_differential(env_id, kwargs):
         np.asarray(jax.random.key_data(a._key)),
         np.asarray(jax.random.key_data(b._key)),
     )
+
+
+def test_coverage_autoreset_speculation_crosses_episode_boundary():
+    """The fused lookahead continues across done into the next episode
+    (in-scan autoreset): the whole controller/step/reset stream over 2+
+    episode boundaries must be bit-identical to the unfused path, and the
+    queue must survive the boundary."""
+    import jax
+
+    a = make_legacy("Coverage-v0", n_graphs=1)
+    b = make_legacy("Coverage-v0", n_graphs=1)
+    a.seed(5), b.seed(5)
+    oa, ob = a.reset(), b.reset()
+    _flat_eq(oa, ob)
+    a._streak = True  # engage the deep pipeline immediately
+    boundaries = 0
+    for _ in range(200):
+        ua = a.controller(greedy=True)
+        ub = b.controller(greedy=True)
+        np.testing.assert_array_equal(ua, ub)
+        b._flush_queue()  # force the unfused path on b every step
+        oa, ra, da, _ = a.step(ua)
+        ob, rb, db, _ = b.step(ub)
+        _flat_eq(oa, ob)
+        assert ra == rb and da == db
+        if da:
+            boundaries += 1
+            queue_before = len(a._queue)
+            oa2, ob2 = a.reset(), b.reset()
+            _flat_eq(oa2, ob2)
+            if queue_before:
+                # the pipeline must survive the boundary, not flush
+                assert len(a._queue) == queue_before
+            if boundaries >= 2:
+                break
+    assert boundaries >= 2, "workload never crossed an episode boundary"
+    _flat_eq(a._state, b._state)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(a._key)),
+        np.asarray(jax.random.key_data(b._key)),
+    )
+
+
+def test_coverage_step_past_done_without_reset_matches_unfused():
+    """A driver that ignores done and keeps stepping must see exactly the
+    unfused stream: the staged autoreset continuation is discarded."""
+    a = make_legacy("Coverage-v0", n_graphs=1)
+    b = make_legacy("Coverage-v0", n_graphs=1)
+    a.seed(9), b.seed(9)
+    a.reset(), b.reset()
+    a._streak = True
+    done_seen = False
+    for _ in range(120):
+        ua = a.controller(greedy=True)
+        ub = b.controller(greedy=True)
+        np.testing.assert_array_equal(ua, ub)
+        b._flush_queue()
+        oa, ra, da, _ = a.step(ua)
+        ob, rb, db, _ = b.step(ub)
+        _flat_eq(oa, ob)
+        assert ra == rb and da == db
+        if da:
+            done_seen = True  # do NOT reset; keep stepping on both
+    assert done_seen
+    _flat_eq(a._state, b._state)
+
+
+def test_coverage_controller_after_done_without_reset_matches_unfused():
+    """controller() right after a done commit (no reset) recomputes from
+    the committed done state instead of serving the post-reset queue."""
+    a = make_legacy("Coverage-v0", n_graphs=1)
+    b = make_legacy("Coverage-v0", n_graphs=1)
+    a.seed(13), b.seed(13)
+    a.reset(), b.reset()
+    a._streak = True
+    for _ in range(120):
+        ua = a.controller(greedy=True)
+        ub = b.controller(greedy=True)
+        np.testing.assert_array_equal(ua, ub)
+        b._flush_queue()
+        oa, ra, da, _ = a.step(ua)
+        ob, rb, db, _ = b.step(ub)
+        assert ra == rb and da == db
+        if da:
+            break
+    # no reset: the next controller must ignore the staged continuation
+    ua = a.controller(greedy=True)
+    ub = b.controller(greedy=True)
+    np.testing.assert_array_equal(ua, ub)
+    oa, ra, da, _ = a.step(ua)
+    ob, rb, db, _ = b.step(ub)
+    _flat_eq(oa, ob)
+    assert ra == rb and da == db
