@@ -237,11 +237,14 @@ def main():
             results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
             # MFU-style utilization: the fused rollout runs ONE pairwise
             # pass per step (the floor — obs and expert share it), so
-            # pair-rate = steps/s * N^2; the ~47 Gpair/s denominator is the
-            # VPU division-throughput roofline of this pass measured via
-            # kernel sweeps (ROADMAP #2/#14)
+            # pair-rate = steps/s * N^2.  The denominator is the ~47 Gpair/s
+            # throughput of the STANDALONE obs/expert pass measured by r1
+            # kernel sweeps — a measured reference point, not a hardware
+            # bound: the cross-step-fused program can legitimately exceed
+            # 1.0 because fusion removes work the standalone pass pays
+            # (ROADMAP #2/#14), hence the explicit name
             gpair_per_s=round(results["flocking_fused"] * 100 * 100 / 1e9, 1),
-            roofline_frac=round(
+            vs_single_pass_roofline=round(
                 results["flocking_fused"] * 100 * 100 / 1e9 / 47.0, 2
             ),
         )
@@ -306,7 +309,7 @@ def main():
             "env-steps/s (FlockingRelative, 100 agents, fused expert+step+obs)",
             results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
             gpair_per_s=round(results["flocking_fused"] * 100 * 100 / 1e9, 1),
-            roofline_frac=round(
+            vs_single_pass_roofline=round(
                 results["flocking_fused"] * 100 * 100 / 1e9 / 47.0, 2
             ),
         )

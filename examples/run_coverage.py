@@ -27,6 +27,16 @@ def main():
     parser.add_argument("-f", "--full", dest="full", action="store_true")
     parser.add_argument("-n", "--n", nargs="?", const=100, type=int, default=10)
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--strict-expert",
+        dest="strict_expert",
+        action="store_true",
+        help="reproduce the reference's expert-failure semantics: the VRP "
+        "expert raises AssertionError on an infeasible solution (first "
+        "stops must be the robots' own positions, reference "
+        "vrp_solver.py:144-146) and the driver restarts the episode "
+        "(reference test.py:53-59) instead of degrading to greedy/random",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -50,7 +60,20 @@ def main():
         done = False
         while not done:
             if args.expert:
-                action = env.controller(random=False, greedy=False)
+                if args.strict_expert:
+                    # reference test.py:53-59: expert infeasibility restarts
+                    # the episode rather than falling back
+                    try:
+                        action = env.controller(
+                            random=False, greedy=False, strict=True
+                        )
+                    except AssertionError:
+                        env.reset()
+                        episode_reward = 0.0
+                        done = False
+                        continue
+                else:
+                    action = env.controller(random=False, greedy=False)
             elif args.greedy:
                 action = env.controller(random=False, greedy=True)
             else:

@@ -407,7 +407,9 @@ class _CoverageLegacyEnv(LegacyEnv):
             self._flush_queue()
         return LegacyEnv.step(self, action)
 
-    def controller(self, random=False, greedy=False, reset_solution=False):
+    def controller(
+        self, random=False, greedy=False, reset_solution=False, strict=False
+    ):
         assert self._state is not None, "call reset() first"
         if not greedy:
             self._flush_queue()
@@ -532,8 +534,14 @@ class _CoverageLegacyEnv(LegacyEnv):
             return np.array(entry["action"])
         from gym_flock_tpu.experts.coverage_vrp import CoverageVRPPolicy
 
-        if self._vrp is None or reset_solution:
-            self._vrp = CoverageVRPPolicy(self.params, horizon=-1)
+        if (
+            self._vrp is None
+            or reset_solution
+            or self._vrp.strict != strict
+        ):
+            self._vrp = CoverageVRPPolicy(
+                self.params, horizon=-1, strict=strict
+            )
         return self._vrp(self._state)
 
 

@@ -45,9 +45,12 @@ class LQRParams:
     """Values from params_lqr.cfg (network_size=100, alpha=10, dt=0.01,
     variance=0.01, xmax=1, b_scale=10, degree=8, filter_length=4)."""
 
+    # NOTE: the cfg's filter_length is intentionally NOT carried: the only
+    # thing the reference does with it is shape an observation_space that
+    # does not match its actual (x, a_net) observation (lqr.py:71; the
+    # x_agg aggregation that would consume it is commented out, :89)
     n_nodes: int = struct.field(pytree_node=False, default=100)
     degree: int = struct.field(pytree_node=False, default=8)
-    filter_len: int = struct.field(pytree_node=False, default=4)
     max_steps: int = struct.field(pytree_node=False, default=1000)
 
     dt: float = 0.01

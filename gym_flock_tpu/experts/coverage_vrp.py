@@ -66,7 +66,7 @@ class CoverageVRPPolicy:
     """
 
     def __init__(self, params: CoverageParams, horizon: int = -1,
-                 mode: str = "or_default"):
+                 mode: str = "or_default", strict: bool = False):
         self.params = params
         self.horizon = horizon
         # "or_default" = the reference pipeline (PATH_CHEAPEST_ARC + OR-Tools
@@ -74,6 +74,13 @@ class CoverageVRPPolicy:
         # quality; "cheapest_arc" = construction only
         # (see experts.vrp.solve_vrp_raw)
         self.mode = mode
+        # strict: reproduce the reference's solution-decode asserts
+        # (vrp_solver.py:144-146 — every vehicle's first stop is its own
+        # init location; an empty route fails the same assert), raising
+        # AssertionError instead of degrading to greedy/random.  The
+        # reference driver catches this and restarts the episode
+        # (test.py:53-59) — see examples/run_coverage.py --strict-expert.
+        self.strict = strict
         self.cached: Optional[List[List[int]]] = None
         self._rng = np.random.RandomState(0)
 
@@ -117,6 +124,12 @@ class CoverageVRPPolicy:
                 graph_cost, visited, discovered, cur, n_targets
             )
             routes = solve_vrp_raw(tm, pen, init, float(budget), mode=self.mode)
+            if self.strict:
+                for i, route in enumerate(routes):
+                    assert route, "First stop is not an initial position"
+                    assert route[0] == int(init[i]), (
+                        "First stop is not an initial position"
+                    )
             # depot-node ids -> target indices
             self.cached = [[n - 1 for n in route] for route in routes]
 

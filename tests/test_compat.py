@@ -563,3 +563,54 @@ def test_coverage_controller_after_done_without_reset_matches_unfused():
     ob, rb, db, _ = b.step(ub)
     _flat_eq(oa, ob)
     assert ra == rb and da == db
+
+
+def test_strict_expert_raises_on_infeasible_solution(monkeypatch):
+    """strict=True reproduces the reference's decode asserts
+    (vrp_solver.py:144-146): an empty or mis-assigned route raises
+    AssertionError instead of degrading to greedy."""
+    import gym_flock_tpu.experts.coverage_vrp as cv
+
+    env = make_legacy("Coverage-v0", n_graphs=1)
+    env.seed(0)
+    env.reset()
+
+    # sanity: the real solver is feasible here -> no raise
+    u = env.controller(random=False, greedy=False, strict=True)
+    assert u.shape == (env.params.n_robots, 1)
+
+    def starved(tm, pen, init, budget, mode="or_default"):
+        routes = [[int(i)] for i in init]
+        routes[-1] = []  # vehicle with no route: reference assert fires
+        return routes
+
+    monkeypatch.setattr(cv, "solve_vrp_raw", starved)
+    env2 = make_legacy("Coverage-v0", n_graphs=1)
+    env2.seed(0)
+    env2.reset()
+    with pytest.raises(AssertionError):
+        env2.controller(random=False, greedy=False, strict=True)
+    # non-strict mode tolerates the same solution (robustness fallback)
+    env3 = make_legacy("Coverage-v0", n_graphs=1)
+    env3.seed(0)
+    env3.reset()
+    u3 = env3.controller(random=False, greedy=False)
+    assert u3.shape == (env3.params.n_robots, 1)
+
+
+def test_cli_strict_expert_flag_smoke():
+    """examples/run_coverage.py --strict-expert completes an episode with
+    the restart-on-AssertionError loop (reference test.py:53-59)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    out = subprocess.run(
+        [sys.executable, str(root / "examples" / "run_coverage.py"),
+         "-e", "--strict-expert", "-n", "1", "--cpu"],
+        capture_output=True, text=True, timeout=420, cwd=str(root),
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "Expert" in out.stdout
+    assert "Reward over 1 episodes" in out.stdout
