@@ -809,13 +809,13 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 # =============================================================================
 
 _bank_cache: Dict[tuple, Any] = {}
-_BANK_FORMAT = 3  # bump when GraphSpec/bank fields change
+_BANK_FORMAT = 4  # bump when GraphSpec/bank fields or build algorithm change
 
 
 def default_coverage_bank(
     n_graphs: int = 8,
     n_robots: int = 6,
-    max_nodes: int = 500,
+    max_nodes: Optional[int] = 500,
     horizon: int = 10,
     seed: int = 0,
     kind: str = "coverage",
@@ -828,6 +828,12 @@ def default_coverage_bank(
     sub-windows of an occupancy map (CoverageARL-style, coverage_arl.py:64-82).
     Oversized maps (> max_targets) are redrawn — the reference instead
     crashes on ~2/3 of seeds (SURVEY.md §5.9c).
+
+    ``max_nodes=None`` (only with ``kind='occupancy', full_map=True``) sizes
+    the bank to the map: max_targets = the largest component's node count —
+    the reference's ``pad_nodes=False`` semantics, where ``max_nodes`` is
+    overwritten with the actual agent count (coverage.py:540-541; both
+    full-map variants construct with pad_nodes=False).
     """
     keyed_kwargs = dict(map_kwargs)
     if isinstance(keyed_kwargs.get("path"), str):
@@ -873,7 +879,6 @@ def default_coverage_bank(
     )
 
     rng = np.random.RandomState(seed)
-    max_targets = max_nodes - n_robots
     res = map_kwargs.pop("res", DELTA if kind == "coverage" else 5.0)
     motion_radius = res * 1.2
     min_graph_size = map_kwargs.pop("min_graph_size", 200 if kind == "occupancy" else 2)
@@ -881,22 +886,34 @@ def default_coverage_bank(
     full_map = map_kwargs.pop("full_map", False)
     if full_map and kind != "occupancy":
         raise ValueError("full_map=True is only meaningful for kind='occupancy'")
+    if max_nodes is None and not full_map:
+        raise ValueError("max_nodes=None (fit-to-map) requires full_map=True")
+    max_targets = None if max_nodes is None else max_nodes - n_robots
 
     specs = []
     if kind == "occupancy":
-        all_targets = targets_from_occupancy(rng=rng, **map_kwargs)
         from gym_flock_tpu.envs.coverage_graph import _largest_component
 
+        # check_connected=True (every reference occupancy env): trim to the
+        # map's largest connected component BEFORE windowing
+        # (coverage_arl.py:50-55), so no subwindow can pick up targets from
+        # a disconnected fragment of the facility
+        all_targets = _largest_component(
+            targets_from_occupancy(rng=rng, **map_kwargs), motion_radius
+        )
+
         if full_map:
-            # num_subgraphs=1: the whole map is the one static graph
-            # (reference coverage_arl.py:83 returns graph_changed=False);
-            # build_graph_spec validates the upper bound
-            targets = _largest_component(all_targets, motion_radius)
+            # num_subgraphs=1: the whole (already component-trimmed) map is
+            # the one static graph (reference coverage_arl.py:83 returns
+            # graph_changed=False); build_graph_spec validates the bound
+            targets = all_targets
             if targets.shape[0] < min_graph_size:
                 raise ValueError(
                     f"full map's largest component has {targets.shape[0]} "
                     f"targets < min_graph_size={min_graph_size}"
                 )
+            if max_targets is None:  # pad_nodes=False: fit to the map
+                max_targets = targets.shape[0]
             specs.append(
                 build_graph_spec(targets, max_targets, n_robots, motion_radius, horizon)
             )
@@ -953,10 +970,22 @@ def coverage_factory(variant: str):
     * full          — CoverageFull-v0 (coverage_full.py:14-17)
     * explore       — ExploreEnv-v0/-v1 (coverage_explore.py:10)
     * explore_full  — ExploreFullEnv-v0 (coverage_explore_full.py:13-17)
+
+    The occupancy variants (everything but ``coverage``) accept
+    ``real_map``: ``None`` (default) auto-discovers the reference's real
+    ARL facility map (``envs.maps.find_reference_map``) and builds the
+    world from it; ``False`` forces the procedural map; ``True`` requires
+    the real map (raises when none is found); a string is an explicit path
+    to a ``grid_slice``-style occupancy ``.npy``.  On the real map the
+    full-map variants size the node budget to the map exactly, matching
+    the reference's ``pad_nodes=False`` behavior (coverage.py:540-541) —
+    CoverageFull-v0 is a 1,276-node world and ExploreFullEnv-v0 a
+    5,759-node world on ``grid_slice10.npy``.
     """
 
     def factory(n_graphs: int = 8, bank_seed: int = 0, **kwargs):
         env = CoverageEnv()
+        real_map = kwargs.pop("real_map", None)
         if variant == "coverage":
             cfg = dict(
                 n_robots=6, max_nodes=500, episode_length=75, max_steps=75,
@@ -993,21 +1022,45 @@ def coverage_factory(variant: str):
             bank_kind, horizon, peri = "occupancy", 19, 12.0
         else:
             raise ValueError(variant)
+        user_max_nodes = "max_nodes" in kwargs
         cfg.update(kwargs)
         bank = cfg.pop("bank", None)
         if bank is None:
+            map_path = None
+            if bank_kind == "occupancy":
+                if isinstance(real_map, str):
+                    map_path = real_map
+                elif real_map is not False:
+                    from gym_flock_tpu.envs.maps import find_reference_map
+
+                    map_path = find_reference_map(10)
+                    if real_map is True and map_path is None:
+                        raise FileNotFoundError(
+                            "real_map=True but no grid_slice10.npy found — "
+                            "set $GYM_FLOCK_TPU_MAPS or install gym_flock "
+                            "(see gym_flock_tpu.envs.maps)"
+                        )
+            full_map = variant in ("full", "explore_full")
+            # pad_nodes=False parity: on a real map the full-map worlds take
+            # their node budget from the map itself (unless overridden)
+            fit_nodes = full_map and map_path is not None and not user_max_nodes
             bank = default_coverage_bank(
-                n_graphs=1 if variant in ("full", "explore_full") else n_graphs,
+                n_graphs=1 if full_map else n_graphs,
                 n_robots=cfg["n_robots"],
-                max_nodes=cfg["max_nodes"],
+                max_nodes=None if fit_nodes else cfg["max_nodes"],
                 horizon=horizon,
                 seed=bank_seed,
                 kind=bank_kind,
                 res=cfg["res"],
-                full_map=variant in ("full", "explore_full"),
+                full_map=full_map,
                 **({"perimeter_delta": peri} if peri is not None else {}),
-                **({"map_shape": (48, 42)} if variant == "explore_full" else {}),
+                **({"path": map_path, "downsample_rate": 10}
+                   if map_path is not None else {}),
+                **({"map_shape": (48, 42)}
+                   if variant == "explore_full" and map_path is None else {}),
             )
+            if fit_nodes:
+                cfg["max_nodes"] = int(bank["target_mask"].shape[1]) + cfg["n_robots"]
         if cfg.get("hide_nodes") and not cfg.get("comm_edges"):
             # MXU discovery-mask operands (host-built one-hots; see
             # _hide_mm_active and coverage_graph.hide_mm_operands).

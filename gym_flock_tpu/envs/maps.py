@@ -1,0 +1,85 @@
+"""Discovery of the reference's real ARL occupancy maps.
+
+The reference ships binary occupancy grids of a real ARL facility as data
+assets — ``gym_flock/envs/spatial/maps/grid_slice{2,5,10}.npy``, loaded by
+``from_occupancy`` (reference make_map.py:234-240; the downsample rate N
+selects ``grid_sliceN.npy``).  Those files are *data*, not code, and are not
+redistributed with this framework; instead the occupancy env family
+(CoverageARL / CoverageFull / Explore / ExploreFull) discovers them at
+``make()`` time and builds its graph banks from the real facility map when
+one is available, falling back to procedurally generated maps otherwise
+(:func:`gym_flock_tpu.envs.coverage_graph.generate_occupancy_map`).
+
+Search order (first hit wins):
+
+1. ``$GYM_FLOCK_TPU_MAPS`` — a directory containing ``grid_sliceN.npy``.
+   Set it to ``off`` / ``none`` / ``0`` to disable discovery entirely
+   (procedural maps even when a reference checkout is present — the test
+   suite does this so the default tier stays fast and world-size stable).
+2. An installed ``gym_flock`` package (``pip install gym-flock`` or a
+   source install of the reference) — its bundled ``maps/`` directory.
+3. ``$GYM_FLOCK_REFERENCE`` — path to a gym-flock source checkout.
+4. ``/root/reference`` — the conventional read-only checkout location this
+   repo's parity suite uses (tests/reference_oracle.py).
+
+Converting a map into device-ready graph banks takes tens of seconds for
+the full-facility variants (all-pairs hop costs on thousands of nodes);
+banks are content-keyed and disk-cached by ``default_coverage_bank``, so
+the cost is paid once per (map contents, env config).  Run
+``python examples/convert_arl_map.py`` to pre-build every variant's bank
+ahead of time (CI images, bench boxes).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+__all__ = ["find_reference_map", "reference_map_dirs"]
+
+_DISABLED = ("off", "none", "0", "false")
+
+
+def reference_map_dirs() -> list:
+    """Candidate directories that may hold ``grid_sliceN.npy``, in search
+    order.  Pure path assembly — no filesystem access beyond existence
+    checks done by :func:`find_reference_map`."""
+    dirs = []
+    env_dir = os.environ.get("GYM_FLOCK_TPU_MAPS", "")
+    if env_dir.strip().lower() in _DISABLED:
+        return []
+    if env_dir:
+        dirs.append(Path(env_dir))
+
+    # an installed gym_flock package (find_spec does not import it)
+    try:
+        import importlib.util
+
+        spec = importlib.util.find_spec("gym_flock")
+        if spec is not None and spec.submodule_search_locations:
+            for loc in spec.submodule_search_locations:
+                dirs.append(Path(loc) / "envs" / "spatial" / "maps")
+    except (ImportError, ValueError):  # pragma: no cover
+        pass
+
+    ref = os.environ.get("GYM_FLOCK_REFERENCE", "/root/reference")
+    dirs.append(Path(ref) / "gym_flock" / "envs" / "spatial" / "maps")
+    return dirs
+
+
+def find_reference_map(downsample_rate: int = 10) -> Optional[str]:
+    """Locate ``grid_slice{downsample_rate}.npy`` or return ``None``.
+
+    ``downsample_rate=10`` is what every reference occupancy env uses
+    (coverage_arl.py:19 default; coverage_full.py:3 and
+    coverage_explore_full.py:3 both pin DOWNSAMPLE_RATE = 10).
+    """
+    name = f"grid_slice{downsample_rate}.npy"
+    for d in reference_map_dirs():
+        p = d / name
+        try:
+            if p.is_file():
+                return str(p)
+        except OSError:  # pragma: no cover
+            continue
+    return None

@@ -31,6 +31,11 @@ os.environ.setdefault(
     ),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# Occupancy envs auto-discover the reference's real ARL facility map
+# (envs/maps.py) — a 5,759-node ExploreFull world.  The suite defaults to
+# the procedural worlds for speed and world-size stability; the dedicated
+# real-map tests (test_real_map.py) re-enable discovery explicitly.
+os.environ.setdefault("GYM_FLOCK_TPU_MAPS", "off")
 
 import jax
 
