@@ -13,12 +13,15 @@ Metrics (schema per line: {"metric", "value", "unit", "vs_baseline"}):
    every step (nodes/edges/senders/receivers — nothing DCE'd).
    Baseline: ~2,381 env-steps/s (BASELINE.md; coverage.py:174-364 +
    :800-826).
-3. ExploreFullEnv-v0 (100 robots, full occupancy map) batched greedy,
-   full obs consumed.  The hide-nodes discovery masks run as exact
-   one-hot MXU matmuls (envs.coverage._hide_mm_active) — the gather
-   path's per-env-index lookups measure ~10 ns/element on TPU and drop
-   this metric 15x.  Baseline: measured reference ExploreFullEnv
-   single-stream greedy rate (this container, same loop as test.py).
+3. ExploreFullEnv-v0 (100 robots) batched greedy, full obs consumed.
+   With the reference checkout present this is the REAL 5,759-node ARL
+   facility (grid_slice10.npy, auto-discovered — envs/maps.py), the same
+   world the baseline was measured on; procedural fallback otherwise.
+   The hide-nodes discovery masks run as exact one-hot MXU matmuls
+   (envs.coverage._hide_mm_active) — the gather path's per-env-index
+   lookups measure ~10 ns/element on TPU and drop this metric 15x.
+   Baseline: measured reference ExploreFullEnv single-stream greedy rate
+   (this container, same loop as test.py, real map).
 4. FlockingSparse-v0 N=65,536 fused expert rollout, agent-steps/s.
    Baseline: reference agent-steps/s at N=100 (835 * 100).
 5/6/7. Legacy single-stream interop (compat.make_legacy on CPU, the
@@ -39,10 +42,21 @@ because the shared chip has +-15-20% run-to-run variance.  Each metric is
 independently guarded: one failure does not sink the rest.
 """
 import json
+import os
 import subprocess
 import sys
 import time
 from pathlib import Path
+
+# Persistent compile cache: first-compile latency through the remote
+# compile helper varies 1s-400s per program (ROADMAP #3); cached repeat
+# runs of the same bench programs skip most of it.  Must be set before
+# jax initializes; inherited by the legacy/tpu_smoke subprocesses.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "gym_flock_tpu", "jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax
 import jax.numpy as jnp
@@ -51,8 +65,9 @@ import gym_flock_tpu as gft
 
 BASELINE_FLOCKING = 835.0  # reference, 1 CPU core (BASELINE.md)
 BASELINE_COVERAGE = 2381.0  # reference, 1 CPU core (BASELINE.md)
-# reference ExploreFullEnv (R=100, grid_slice10 map) single-stream greedy,
-# measured in this container (same method as BASELINE.md)
+# reference ExploreFullEnv (R=100, real grid_slice10 map) single-stream
+# greedy, measured in this container (same method as BASELINE.md); the
+# bench env runs on the same real map when the reference is discoverable
 BASELINE_EXPLOREFULL = 10.4
 # reference CoverageARL-v0 single-stream greedy incl. per-episode subgraph
 # regen (BASELINE.md; here sub-windows come from a pre-built bank — the
@@ -167,8 +182,13 @@ def bench_coverage(B=8192, T=64):
 def bench_explore_full(B=512, T=32):
     env, params = gft.make("ExploreFullEnv-v0")
 
+    # params is a jit ARGUMENT, not a closure capture: on the real
+    # 5,759-node facility map the bank (cost/prev/hops matrices + bf16
+    # one-hot discovery operands, ~1 GB) would otherwise be embedded in
+    # the HLO as constants and blow the remote compile helper's request
+    # size limit (HTTP 413)
     @jax.jit
-    def run(key):
+    def run(key, params):
         keys = jax.random.split(key, B)
 
         def one(key):
@@ -190,8 +210,8 @@ def bench_explore_full(B=512, T=32):
         return jnp.sum(jax.vmap(one)(keys))
 
     k = [jax.random.key(i) for i in range(8)]
-    best = best_of(lambda: float(run(k.pop())))
-    return B * T / best
+    best = best_of(lambda: float(run(k.pop(), params)))
+    return B * T / best, params.max_nodes
 
 
 def bench_sparse_flocking(N=65536, T=32):
@@ -259,9 +279,9 @@ def main():
         print(f"# coverage failed: {e!r}", flush=True)
 
     try:
-        v = bench_explore_full()
+        v, n_nodes = bench_explore_full()
         emit("env-steps/s (ExploreFullEnv-v0, 100 robots, greedy expert)", v,
-             "env-steps/s", BASELINE_EXPLOREFULL)
+             "env-steps/s", BASELINE_EXPLOREFULL, world_nodes=n_nodes)
     except Exception as e:  # pragma: no cover
         print(f"# explore_full failed: {e!r}", flush=True)
 
@@ -293,7 +313,7 @@ def main():
         out = subprocess.run(
             [sys.executable,
              str(Path(__file__).parent / "benchmarks" / "tpu_smoke.py")],
-            capture_output=True, text=True, timeout=300,
+            capture_output=True, text=True, timeout=570,
         )
         if out.returncode != 0:
             raise RuntimeError(out.stderr.strip()[-300:])
