@@ -769,6 +769,19 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             m = jnp.min(packed, axis=1)  # [R]
             greedy_loc = (m % 4096.0).astype(jnp.int32)
             unreachable = (m - greedy_loc) / 4096.0 >= MAX_COST
+        elif "cost_pack_ok" in params.bank:
+            # gather-path packed min (coverage_graph._cost_pack_marker):
+            # same single-value trick at mult 8192 — one fused reduce over
+            # the gathered rows instead of a variadic argmin plus a second
+            # advanced-index gather for the unreachable test.  Engages for
+            # any standard bank up to T=8192 (the real 5,659-node facility
+            # map included, where the mm copy's T<4096 packing is out of
+            # range).
+            idx = jnp.arange(T, dtype=r.dtype)
+            packed = jnp.where(blocked[None, :], MAX_COST, r) * 8192.0 + idx[None, :]
+            m = jnp.min(packed, axis=1)  # [R]
+            greedy_loc = (m % 8192.0).astype(jnp.int32)
+            unreachable = (m - greedy_loc) / 8192.0 >= MAX_COST
         else:
             r = jnp.where(blocked[None, :], MAX_COST, r)
             greedy_loc = jnp.argmin(r, axis=1)  # [R] target idx
@@ -809,7 +822,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 # =============================================================================
 
 _bank_cache: Dict[tuple, Any] = {}
-_BANK_FORMAT = 4  # bump when GraphSpec/bank fields or build algorithm change
+_BANK_FORMAT = 5  # bump when GraphSpec/bank fields or build algorithm change
 
 
 def default_coverage_bank(

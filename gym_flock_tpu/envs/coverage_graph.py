@@ -428,7 +428,36 @@ def build_graph_bank(specs: List[GraphSpec]):
         "graph_prev": stack("graph_prev"),
         "graph_hops": stack("graph_hops"),
         **_mm_cost_copy(specs),
+        **_cost_pack_marker(specs),
     }
+
+
+def _cost_pack_marker(specs):
+    """Presence marker ``cost_pack_ok``: the greedy expert may select the
+    nearest target with a packed single-value min (``cost * 8192 + idx``)
+    instead of a variadic argmin — TPU (value, index) reduces vectorize
+    poorly, and on the gather path (no ``graph_cost_mm``) the argmin also
+    needs a second advanced-index gather for the unreachable test.
+
+    Exactness requires every finite cost to be a non-negative integer
+    (construct_time_matrix uses edge_time=1.0, so costs are sweep counts)
+    bounded by MAX_COST, and T <= 8192:  max packed value is
+    1000 * 8192 + 8191 ≈ 8.2e6 < 2^24, exact in f32; among tied costs the
+    smallest packed value carries the smallest index — argmin's
+    first-match tie-break.  The marker is a bank KEY (presence is a static
+    python-level check under jit, like ``graph_cost_mm``); its value is a
+    placeholder scalar."""
+    import jax.numpy as jnp
+
+    costs = np.stack([s.graph_cost for s in specs])
+    if costs.shape[-1] > 8192:
+        return {}
+    finite = costs[costs < MAX_COST]
+    if finite.size and (
+        finite.min() < 0 or finite.max() > MAX_COST or (finite != np.round(finite)).any()
+    ):
+        return {}
+    return {"cost_pack_ok": jnp.asarray(1, dtype=jnp.int32)}
 
 
 def _mm_cost_copy(specs):

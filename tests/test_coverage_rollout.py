@@ -378,3 +378,29 @@ def test_hide_mm_self_pad_frontier_quirk():
         )
     # the edge case actually fired: robot 0's frontier flag is set
     assert float(np.asarray(obs_s["nodes"])[0, 3]) == 1.0
+
+
+def test_packed_min_greedy_matches_argmin_path():
+    """The gather-path packed single-value min (cost*8192+idx, engaged via
+    the bank's ``cost_pack_ok`` marker — coverage_graph._cost_pack_marker)
+    selects EXACTLY the same greedy actions as the variadic-argmin path,
+    including first-match tie-breaks and the unreachable->random fallback,
+    across rollouts that grow visited/discovered masks."""
+    env, params = gft.make("ExploreFullEnv-v0")
+    assert "cost_pack_ok" in params.bank
+
+    # expert_mm=False keeps both configs on the row-gather branch; the
+    # argmin variant gets a bank WITHOUT the marker (presence is the gate)
+    p_packed = params.replace(expert_mm=False)
+    bank_no_marker = {k: v for k, v in params.bank.items() if k != "cost_pack_ok"}
+    p_argmin = params.replace(expert_mm=False, bank=bank_no_marker)
+
+    state, _ = env.reset_env(jax.random.key(3), params)
+    for t in range(12):
+        kt = jax.random.key(500 + t)
+        u_packed = env.controller(state, p_packed, key=kt, greedy=True)
+        u_argmin = env.controller(state, p_argmin, key=kt, greedy=True)
+        u_mm = env.controller(state, params, key=kt, greedy=True)  # mm path
+        np.testing.assert_array_equal(np.asarray(u_packed), np.asarray(u_argmin))
+        np.testing.assert_array_equal(np.asarray(u_packed), np.asarray(u_mm))
+        state, _, _, _, _ = env.step_env(kt, state, u_packed, params)
