@@ -89,7 +89,12 @@ def test_sums_match_dense(mesh8, mode):
     np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("centralized", [True, False])
+@pytest.mark.parametrize(
+    # default tier keeps the decentralized controller (the expert's mode);
+    # the centralized variant differs only in the consensus term and rides
+    # the same sharded kernels — slow tier
+    "centralized", [pytest.param(True, marks=pytest.mark.slow), False]
+)
 @pytest.mark.parametrize("mode", ["ring", pytest.param("allgather", marks=pytest.mark.slow)])
 def test_controller_matches_dense(mesh8, mode, centralized):
     x = _swarm(jax.random.key(1))

@@ -155,20 +155,25 @@ def test_revisit_nodes_flag_reverts_targets():
     """REVISIT_NODES: visited landmarks occasionally revert to unvisited
     (reference coverage.py:246-247, w.p. 0.005 per step)."""
     env, params = gft.make("Coverage-v0", n_graphs=1, revisit_nodes=True)
-    state, _ = env.reset_env(jax.random.key(0), params)
-    mask = np.asarray(params.bank["target_mask"][0])
-    reverted = 0
-    key = jax.random.key(1)
-    for t in range(120):
-        before = np.asarray(state.visited)[mask].sum()
-        key, k1, k2 = jax.random.split(key, 3)
-        u = env.controller(state, params, key=k1, greedy=True)
-        state, _, r, d, _ = env.step_env(k2, state, u, params)
-        after = np.asarray(state.visited)[mask].sum()
-        # a revert shows as visited-count decreasing net of new visits
-        if after - before < float(r):
-            reverted += 1
-    assert reverted > 0, "no visited target ever reverted in 120 steps"
+    mask = jnp.asarray(np.asarray(params.bank["target_mask"][0]))
+
+    @jax.jit
+    def rollout(key):
+        state, _ = env.reset_env(jax.random.key(0), params)
+
+        def body(state, key_t):
+            k1, k2 = jax.random.split(key_t)
+            before = jnp.sum(state.visited * mask)
+            u = env.controller(state, params, key=k1, greedy=True)
+            state, _, r, d, _ = env.step_env(k2, state, u, params)
+            after = jnp.sum(state.visited * mask)
+            # a revert shows as visited-count decreasing net of new visits
+            return state, (after - before < r)
+        _, reverts = jax.lax.scan(body, state, jax.random.split(key, 120))
+        return jnp.sum(reverts)
+
+    assert int(rollout(jax.random.key(1))) > 0, \
+        "no visited target ever reverted in 120 steps"
 
 
 @pytest.mark.slow  # one-hot-matmul expert covered fast by test_multi_graph_mm_expert_matches_gather; hide-nodes masks by test_hide_mm_discovery_masks
