@@ -180,6 +180,10 @@ def _mm_expert_active(params) -> bool:
         # single-graph banks always qualify (the original 1.7x case);
         # multi-graph banks are bounded by the flattened one-hot width
         and (mm.shape[0] == 1 or mm.shape[0] * mm.shape[1] <= 8192)
+        # the one-hot matmul is O(T^2) per cost row and the controller's
+        # cost*4096+idx packing needs T < 4096; bigger worlds (the bf16
+        # copy is now emitted at any T) take the packed gather path
+        and mm.shape[1] < 4096
     )
 
 
@@ -775,10 +779,16 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             # the gathered rows instead of a variadic argmin plus a second
             # advanced-index gather for the unreachable test.  Engages for
             # any standard bank up to T=8192 (the real 5,659-node facility
-            # map included, where the mm copy's T<4096 packing is out of
-            # range).
-            idx = jnp.arange(T, dtype=r.dtype)
-            packed = jnp.where(blocked[None, :], MAX_COST, r) * 8192.0 + idx[None, :]
+            # map included, where the one-hot matmul is out of range).
+            # Rows come from the bf16 cost copy when the bank carries one
+            # (values: exact integer hops + 1024 for unreachable — half
+            # the HBM bytes of the f32 table; the gather dominates the
+            # controller at large T), the f32 table otherwise.  The unused
+            # _greedy_cost_rows gather above is dead code XLA eliminates.
+            mm = params.bank.get("graph_cost_mm")
+            rows = mm[g, cur].astype(jnp.float32) if mm is not None else r
+            idx = jnp.arange(T, dtype=jnp.float32)
+            packed = jnp.where(blocked[None, :], 1024.0, rows) * 8192.0 + idx[None, :]
             m = jnp.min(packed, axis=1)  # [R]
             greedy_loc = (m % 8192.0).astype(jnp.int32)
             unreachable = (m - greedy_loc) / 8192.0 >= MAX_COST
@@ -822,7 +832,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 # =============================================================================
 
 _bank_cache: Dict[tuple, Any] = {}
-_BANK_FORMAT = 5  # bump when GraphSpec/bank fields or build algorithm change
+_BANK_FORMAT = 6  # bump when GraphSpec/bank fields or build algorithm change
 
 
 def default_coverage_bank(

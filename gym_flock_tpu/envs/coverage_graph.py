@@ -461,20 +461,24 @@ def _cost_pack_marker(specs):
 
 
 def _mm_cost_copy(specs):
-    """Optional bf16 copy of graph_cost for the MXU greedy expert
-    (envs.coverage._greedy_cost_rows).  Emitted only when every finite
+    """Optional bf16 copy of graph_cost, emitted whenever every finite
     cost is bf16-exact (integer hop counts <= 256 — construct_time_matrix
     uses edge_time=1.0, so costs are sweep counts); unreachable (MAX_COST)
     is stored as 1024.0, a bf16-exact power of two that still satisfies
-    the controller's ``>= MAX_COST`` unreachable test."""
+    the controller's ``>= MAX_COST`` unreachable test.
+
+    Two consumers (envs.coverage): the MXU one-hot greedy expert
+    (``_greedy_cost_rows``, additionally gated at T < 4096 by
+    ``_mm_expert_active`` — both for its cost*4096+idx packing range and
+    because the one-hot matmul is O(T^2) per row), and the gather-path
+    packed min, which reads these rows at half the HBM bytes of the f32
+    table at any T (the 5.7k-node facility map's dominant phase)."""
     import jax.numpy as jnp
 
     costs = np.stack([s.graph_cost for s in specs])
     finite = costs[costs < MAX_COST]
     if finite.size and (finite.max() > 256 or (finite != np.round(finite)).any()):
         return {}
-    if costs.shape[-1] >= 4096:
-        return {}  # packed cost*4096+idx min-trick needs T < 4096
     mm = np.where(costs >= MAX_COST, 1024.0, costs)
     return {"graph_cost_mm": jnp.asarray(mm, dtype=jnp.bfloat16)}
 
