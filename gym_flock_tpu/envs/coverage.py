@@ -1009,6 +1009,11 @@ def coverage_factory(variant: str):
     def factory(n_graphs: int = 8, bank_seed: int = 0, **kwargs):
         env = CoverageEnv()
         real_map = kwargs.pop("real_map", None)
+        if real_map not in (None, False) and variant == "coverage":
+            raise ValueError(
+                "real_map applies to the occupancy variants only; Coverage-v0 "
+                "uses road-lattice maps (reference coverage.py:516-527)"
+            )
         if variant == "coverage":
             cfg = dict(
                 n_robots=6, max_nodes=500, episode_length=75, max_steps=75,

@@ -177,3 +177,8 @@ def test_convert_tool_builds_and_caches(discovery_on, tmp_path, capsys):
 
     bank = load_graph_bank(str(tmp_path / "CoverageFull-v0.npz"))
     assert int(np.asarray(bank["n_targets"])[0]) == _real_full_targets(2.0).shape[0]
+
+
+def test_real_map_rejected_for_road_lattice_variant():
+    with pytest.raises(ValueError, match="occupancy variants only"):
+        gft.make("Coverage-v0", real_map=True)
