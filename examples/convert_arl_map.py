@@ -23,6 +23,9 @@ Map search order is documented in ``gym_flock_tpu/envs/maps.py``
 import argparse
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 ALL_VARIANTS = [
     "CoverageARL-v0",
