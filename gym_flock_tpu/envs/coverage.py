@@ -174,7 +174,11 @@ def _mm_expert_active(params) -> bool:
     if mm is None:
         return False
     if params.expert_mm is not None:
-        return params.expert_mm
+        # T < 4096 is a CORRECTNESS bound, not a heuristic: the controller
+        # packs cost*4096+idx into one value, so indices >= 4096 alias onto
+        # cost+1 and yield wrong greedy actions.  The force can only route
+        # WITHIN the exact range, like _hide_mm_active's radius condition.
+        return params.expert_mm and mm.shape[1] < 4096
     return (
         (params.n_robots >= 16 or jax.default_backend() != "cpu")
         # single-graph banks always qualify (the original 1.7x case);
@@ -832,7 +836,10 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 # =============================================================================
 
 _bank_cache: Dict[tuple, Any] = {}
-_BANK_FORMAT = 6  # bump when GraphSpec/bank fields or build algorithm change
+# bump TOGETHER with coverage_graph.BANK_SCHEMA when GraphSpec/bank fields
+# or the build algorithm change (this keys the cache filename; BANK_SCHEMA
+# is additionally embedded in + verified against the .npz itself)
+_BANK_FORMAT = 6
 
 
 def default_coverage_bank(
@@ -1053,6 +1060,15 @@ def coverage_factory(variant: str):
         user_max_nodes = "max_nodes" in kwargs
         cfg.update(kwargs)
         bank = cfg.pop("bank", None)
+        if bank is not None and real_map not in (None, False):
+            # an explicit bank IS the world — a real_map request alongside it
+            # cannot be honored, so reject it (same explicitness as the
+            # road-lattice rejection above)
+            raise ValueError(
+                "real_map cannot be combined with an explicit bank=; the bank "
+                "already defines the world (convert the map into a bank via "
+                "envs.maps / examples/convert_arl_map.py instead)"
+            )
         if bank is None:
             map_path = None
             if bank_kind == "occupancy":

@@ -439,10 +439,11 @@ def _cost_pack_marker(specs):
     poorly, and on the gather path (no ``graph_cost_mm``) the argmin also
     needs a second advanced-index gather for the unreachable test.
 
-    Exactness requires every finite cost to be a non-negative integer
-    (construct_time_matrix uses edge_time=1.0, so costs are sweep counts)
-    bounded by MAX_COST, and T <= 8192:  max packed value is
-    1000 * 8192 + 8191 ≈ 8.2e6 < 2^24, exact in f32; among tied costs the
+    Exactness requires every cost (unreachable clamps included) to be a
+    non-negative integer (construct_time_matrix uses edge_time=1.0, so
+    costs are sweep counts, and clamps Inf to exactly MAX_COST=1000)
+    bounded by 2047, and T <= 8192:  max packed value is
+    2047 * 8192 + 8191 = 2^24 - 1, exact in f32; among tied costs the
     smallest packed value carries the smallest index — argmin's
     first-match tie-break.  The marker is a bank KEY (presence is a static
     python-level check under jit, like ``graph_cost_mm``); its value is a
@@ -452,9 +453,13 @@ def _cost_pack_marker(specs):
     costs = np.stack([s.graph_cost for s in specs])
     if costs.shape[-1] > 8192:
         return {}
-    finite = costs[costs < MAX_COST]
-    if finite.size and (
-        finite.min() < 0 or finite.max() > MAX_COST or (finite != np.round(finite)).any()
+    # The packed min reads UNMASKED rows, so every entry participates —
+    # including the MAX_COST-clamped unreachable ones (construct_time_matrix
+    # clamps Inf to exactly MAX_COST=1000, itself pack-exact).  Validate the
+    # FULL array against the f32 pack-exact bound: cost*8192 + idx <= 2^24-1
+    # requires cost <= 2047, integral, non-negative.
+    if costs.size and (
+        costs.min() < 0 or costs.max() > 2047 or (costs != np.round(costs)).any()
     ):
         return {}
     return {"cost_pack_ok": jnp.asarray(1, dtype=jnp.int32)}
@@ -599,6 +604,12 @@ def gen_sparse_grid(n_targets: int, x_max: float, y_max: float,
     return np.array(sorted(targets))
 
 
+# On-disk GraphBank schema version, embedded in every .npz and verified at
+# load: format changes can never silently load a stale cache or export.
+# Bump together with coverage._BANK_FORMAT when bank fields/semantics change.
+BANK_SCHEMA = 6
+
+
 def save_graph_bank(path: str, bank) -> None:
     """Persist a device GraphBank to .npz (bank building can take tens of
     seconds for occupancy maps — reference init alone is ~12 s, BASELINE.md).
@@ -616,6 +627,7 @@ def save_graph_bank(path: str, bank) -> None:
             bf16_keys.append(k)
         arrays[k] = a
     arrays["__bf16_keys__"] = np.asarray(bf16_keys)
+    arrays["__bank_schema__"] = np.asarray(BANK_SCHEMA, dtype=np.int64)
 
     tmp = f"{path}.tmp.{os.getpid()}"
     np.savez_compressed(tmp, **arrays)
@@ -626,13 +638,27 @@ def save_graph_bank(path: str, bank) -> None:
 
 
 def load_graph_bank(path: str):
-    """Load a GraphBank saved by :func:`save_graph_bank`."""
+    """Load a GraphBank saved by :func:`save_graph_bank`.
+
+    Raises ``ValueError`` when the file's ``__bank_schema__`` is missing or
+    differs from the current :data:`BANK_SCHEMA` — the bank-cache path
+    catches this and rebuilds; explicit loads get the clear error."""
     import jax.numpy as jnp
 
     with np.load(path) as data:
+        if "__bank_schema__" not in data.files:
+            raise ValueError(
+                f"{path}: no __bank_schema__ key (pre-versioning bank file); "
+                "rebuild it with save_graph_bank / examples/convert_arl_map.py"
+            )
+        found = int(data["__bank_schema__"])
+        if found != BANK_SCHEMA:
+            raise ValueError(
+                f"{path}: bank schema {found} != current {BANK_SCHEMA}; rebuild"
+            )
         bf16 = set(data["__bf16_keys__"].tolist()) if "__bf16_keys__" in data.files else set()
         return {
             k: jnp.asarray(data[k], dtype=jnp.bfloat16 if k in bf16 else None)
             for k in data.files
-            if k != "__bf16_keys__"
+            if k not in ("__bf16_keys__", "__bank_schema__")
         }

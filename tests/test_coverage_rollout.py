@@ -83,6 +83,33 @@ def test_bank_save_load_roundtrip(tmp_path):
     assert "nodes" in obs
 
 
+def test_bank_schema_version_checked(tmp_path):
+    """A .npz with a stale or missing __bank_schema__ must refuse to load
+    (the cache path then rebuilds): format bumps can't silently serve
+    stale banks (VERDICT r3 #6)."""
+    from gym_flock_tpu.envs.coverage import default_coverage_bank
+    from gym_flock_tpu.envs.coverage_graph import (
+        BANK_SCHEMA, load_graph_bank, save_graph_bank,
+    )
+
+    bank = default_coverage_bank(n_graphs=1, seed=3)
+    path = str(tmp_path / "bank.npz")
+    save_graph_bank(path, bank)
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    assert int(arrays["__bank_schema__"]) == BANK_SCHEMA
+
+    arrays["__bank_schema__"] = np.asarray(BANK_SCHEMA + 1)
+    np.savez_compressed(str(tmp_path / "stale.npz"), **arrays)
+    with pytest.raises(ValueError, match="schema"):
+        load_graph_bank(str(tmp_path / "stale.npz"))
+
+    del arrays["__bank_schema__"]
+    np.savez_compressed(str(tmp_path / "legacy.npz"), **arrays)
+    with pytest.raises(ValueError, match="__bank_schema__"):
+        load_graph_bank(str(tmp_path / "legacy.npz"))
+
+
 def _sequential_reference(cur, chosen, collision_checks=True):
     """The reference's exact two-pass procedure (coverage.py:186-201), NumPy."""
     R = len(cur)
@@ -262,6 +289,55 @@ def test_small_r_mm_expert_matches_gather():
         u_gather = env.controller(state, params_gather, key=kt, greedy=True)
         np.testing.assert_array_equal(np.asarray(u_mm), np.asarray(u_gather))
         state, _, _, _, _ = env.step_env(kt, state, u_mm, params)
+
+
+def test_expert_mm_force_cannot_bypass_packing_range():
+    """expert_mm=True on a T >= 4096 bank must NOT engage the one-hot
+    path: the controller packs cost*4096+idx, so indices >= 4096 alias
+    onto cost+1 and corrupt greedy actions (ADVICE r3, medium).  The
+    force may only route within the exact range."""
+    from gym_flock_tpu.envs.coverage import CoverageParams, _mm_expert_active
+
+    env, params = gft.make("Coverage-v0", n_graphs=2, expert_mm=True)
+    assert _mm_expert_active(params)  # small-T bank: the force engages
+
+    big_mm = jnp.zeros((1, 4096), dtype=jnp.bfloat16)
+    big = params.replace(bank=dict(params.bank, graph_cost_mm=big_mm))
+    assert not _mm_expert_active(big)  # T=4096 aliases: force is ignored
+    edge_ok = params.replace(
+        bank=dict(params.bank, graph_cost_mm=jnp.zeros((1, 4095), jnp.bfloat16))
+    )
+    assert _mm_expert_active(edge_ok)  # T=4095 is the last exact width
+
+
+def test_explicit_bank_plus_real_map_raises():
+    """real_map alongside an explicit bank= cannot be honored — reject it
+    explicitly instead of silently ignoring the map (ADVICE r3, low)."""
+    env, params = gft.make("CoverageARL-v0", n_graphs=2, real_map=False)
+    with pytest.raises(ValueError, match="explicit bank"):
+        gft.make("CoverageARL-v0", bank=params.bank, real_map=True)
+    # and real_map=None/False with a bank stays fine
+    env2, params2 = gft.make("CoverageARL-v0", bank=params.bank)
+    assert params2.bank is params.bank
+
+
+def test_cost_pack_marker_validates_full_array():
+    """_cost_pack_marker guards the FULL cost array (unreachable clamps
+    included) against the f32 pack-exact bound cost <= 2047 (ADVICE r3,
+    low: the old finite-only max check was dead code)."""
+    from types import SimpleNamespace
+
+    from gym_flock_tpu.envs.coverage_graph import MAX_COST, _cost_pack_marker
+
+    spec = SimpleNamespace(graph_cost=np.array([[0.0, 3.0], [MAX_COST, 1.0]]))
+    assert "cost_pack_ok" in _cost_pack_marker([spec])
+    # a cost above the pack-exact bound (even below any hypothetical larger
+    # clamp) must drop the marker
+    spec_big = SimpleNamespace(graph_cost=np.array([[0.0, 2048.0], [1.0, 1.0]]))
+    assert _cost_pack_marker([spec_big]) == {}
+    # non-integral costs drop it too
+    spec_frac = SimpleNamespace(graph_cost=np.array([[0.0, 1.5], [1.0, 1.0]]))
+    assert _cost_pack_marker([spec_frac]) == {}
 
 
 @pytest.mark.parametrize("env_id,mk", [

@@ -117,10 +117,10 @@ def test_lqr_dynamics_parity():
         u = rng.uniform(-1, 1, size=(100, 1))
         # reference adds np.random.normal noise; zero it by monkeypatching
         ref_x = ref.a_sys.dot(ref.x.reshape(-1, 1)) + ref.b_sys.dot(u)
-        ref_cost = float(
+        ref_cost = (
             ref.x.reshape(1, -1) @ ref.q_sys @ ref.x.reshape(-1, 1)
             + u.T @ ref.r_sys @ u
-        )
+        ).item()
         ref.x = ref_x
         state, (x1, a_net), r, _, _ = env.step_env(
             jax.random.key(0), state, jnp.asarray(u), params
