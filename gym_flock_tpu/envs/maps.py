@@ -1,25 +1,28 @@
-"""Discovery of the reference's real ARL occupancy maps.
+"""Discovery of the real ARL occupancy maps.
 
 The reference ships binary occupancy grids of a real ARL facility as data
 assets — ``gym_flock/envs/spatial/maps/grid_slice{2,5,10}.npy``, loaded by
 ``from_occupancy`` (reference make_map.py:234-240; the downsample rate N
-selects ``grid_sliceN.npy``).  Those files are *data*, not code, and are not
-redistributed with this framework; instead the occupancy env family
-(CoverageARL / CoverageFull / Explore / ExploreFull) discovers them at
-``make()`` time and builds its graph banks from the real facility map when
-one is available, falling back to procedurally generated maps otherwise
+selects ``grid_sliceN.npy``).  Byte-identical copies of those MIT-licensed
+data files are bundled with this package (``gym_flock_tpu/data/maps/``), so
+the occupancy env family (CoverageARL / CoverageFull / Explore /
+ExploreFull) defaults to the real facility world on a clean clone with no
+reference checkout present.  Discovery still honors external sources first
+(env-var override), and falls back to procedurally generated maps only when
+disabled outright
 (:func:`gym_flock_tpu.envs.coverage_graph.generate_occupancy_map`).
 
 Search order (first hit wins):
 
 1. ``$GYM_FLOCK_TPU_MAPS`` — a directory containing ``grid_sliceN.npy``.
    Set it to ``off`` / ``none`` / ``0`` to disable discovery entirely
-   (procedural maps even when a reference checkout is present — the test
+   (procedural maps even when the bundled copies are present — the test
    suite does this so the default tier stays fast and world-size stable).
-2. An installed ``gym_flock`` package (``pip install gym-flock`` or a
+2. The bundled package data (``gym_flock_tpu/data/maps/``).
+3. An installed ``gym_flock`` package (``pip install gym-flock`` or a
    source install of the reference) — its bundled ``maps/`` directory.
-3. ``$GYM_FLOCK_REFERENCE`` — path to a gym-flock source checkout.
-4. ``/root/reference`` — the conventional read-only checkout location this
+4. ``$GYM_FLOCK_REFERENCE`` — path to a gym-flock source checkout.
+5. ``/root/reference`` — the conventional read-only checkout location this
    repo's parity suite uses (tests/reference_oracle.py).
 
 Converting a map into device-ready graph banks takes tens of seconds for
@@ -50,6 +53,9 @@ def reference_map_dirs() -> list:
         return []
     if env_dir:
         dirs.append(Path(env_dir))
+
+    # the bundled byte-identical copies (MIT-licensed data; see LICENSE)
+    dirs.append(Path(__file__).resolve().parent.parent / "data" / "maps")
 
     # an installed gym_flock package (find_spec does not import it)
     try:
