@@ -24,7 +24,15 @@ Metrics (schema per line: {"metric", "value", "unit", "vs_baseline"}):
    (this container, same loop as test.py, real map).
 4. FlockingSparse-v0 N=65,536 fused expert rollout, agent-steps/s.
    Baseline: reference agent-steps/s at N=100 (835 * 100).
-5/6/7. Legacy single-stream interop (compat.make_legacy on CPU, the
+5-8. The four remaining env families (VERDICT r3 next #1), batched on
+   the chip with the full obs consumed every step:
+   Shepherding-v0 (LoS expert + step; baseline ~363 env-steps/s),
+   FormationFlying-v0 (step-only — the reference env has no controller();
+   baseline ~1,766), LQR-v0 (step-only — reference controller() returns
+   None; baseline ~49,066), Mapping-v0 (greedy expert + step; baseline
+   ~415).  Baselines measured on the reference in this container by
+   benchmarks/reference_baselines.py (best-of-5 over 5 runs, BASELINE.md).
+9/10/11. Legacy single-stream interop (compat.make_legacy on CPU, the
    reference's own usage pattern) for flocking + coverage + CoverageARL,
    run as a subprocess so the host backend is isolated from the TPU
    process.  ARL baseline: ~176 env-steps/s incl. per-episode subgraph
@@ -74,6 +82,13 @@ BASELINE_EXPLOREFULL = 10.4
 # one-time bank build is excluded like the reference's one-time map load)
 BASELINE_COVERAGE_ARL = 176.0
 BASELINE_AGENT_STEPS = BASELINE_FLOCKING * 100  # agent-steps/s at N=100
+# the four remaining families, measured on the reference in this container
+# (benchmarks/reference_baselines.py, best observed over 5 runs — generous
+# to the reference on this load-noisy shared box; BASELINE.md)
+BASELINE_SHEPHERDING = 769.0   # expert controller() + step()
+BASELINE_FORMATION = 3072.0    # step() only (env has no controller())
+BASELINE_LQR = 89467.0         # step() only (controller() returns None)
+BASELINE_MAPPING = 642.0       # expert controller() + step()
 
 
 def emit(metric, value, unit, baseline, **extra):
@@ -236,6 +251,76 @@ def bench_sparse_flocking(N=65536, T=32):
     return N * T / best  # agent-steps/s
 
 
+def _bench_family(env_id, B, T, policy_fn, make_kwargs=None, key0=0):
+    """Generic batched family bench: reset once, scan T controller/step
+    pairs, consume every obs leaf (same no-DCE honesty rule as the
+    flocking/coverage metrics), report env-steps/s."""
+    env, params = gft.make(env_id, **(make_kwargs or {}))
+
+    @jax.jit
+    def run(key):
+        keys = jax.random.split(key, B)
+
+        def one(key):
+            state, _ = env.reset_env(key, params)
+
+            def body(state, key_t):
+                k1, k2 = jax.random.split(key_t)
+                u = policy_fn(env, state, params, k1)
+                state, obs, r, d, _ = env.step_env(k2, state, u, params)
+                chk = sum(
+                    jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(obs)
+                )
+                return state, jnp.sum(r) + 1e-12 * chk
+
+            state, rs = jax.lax.scan(body, state, jax.random.split(key, T))
+            return jnp.sum(rs)
+
+        return jnp.sum(jax.vmap(one)(keys))
+
+    k = [jax.random.key(key0 + i) for i in range(8)]
+    best = best_of(lambda: float(run(k.pop())))
+    return B * T / best
+
+
+def bench_shepherding(B=4096, T=64):
+    """Expert (vectorized LoS bang-bang) + step, 10 shepherds + 20 sheep.
+    Matches the reference loop shepherding.py:80-117 + :204-233."""
+    return _bench_family(
+        "Shepherding-v0", B, T,
+        lambda env, s, p, k: env.controller(s, p),
+    )
+
+
+def bench_formation(B=8192, T=64):
+    """Step-only with per-step random actions (the reference env has no
+    controller(); formation_flying.py:70-79 is the whole loop)."""
+    def policy(env, s, p, k):
+        return jax.random.uniform(k, (p.n_agents, 2), minval=-1.0, maxval=1.0)
+
+    return _bench_family("FormationFlying-v0", B, T, policy)
+
+
+def bench_lqr(B=4096, T=64):
+    """Step-only with per-step random actions (reference controller()
+    returns None; lqr.py:81-97 is the loop).  The a_sys/b_sys matvecs
+    batch into [B,N]x[N,N] MXU matmuls across envs."""
+    def policy(env, s, p, k):
+        return jax.random.uniform(k, (p.n_nodes, 1), minval=-1.0, maxval=1.0)
+
+    return _bench_family("LQR-v0", B, T, policy)
+
+
+def bench_mapping(B=256, T=32):
+    """Greedy nearest-unobserved expert + step (old/mapping.py:139-165 +
+    :224-232): 100 agents sweeping a 10,000-target lattice — the [N,T]
+    distance pass dominates."""
+    return _bench_family(
+        "Mapping-v0", B, T,
+        lambda env, s, p, k: env.controller(s, p),
+    )
+
+
 def bench_legacy():
     """Single-stream legacy interop on the host backend (subprocess)."""
     out = subprocess.run(
@@ -291,6 +376,21 @@ def main():
              v, "agent-steps/s", BASELINE_AGENT_STEPS)
     except Exception as e:  # pragma: no cover
         print(f"# sparse_flocking failed: {e!r}", flush=True)
+
+    for metric, fn, base, unit in [
+        ("env-steps/s (Shepherding-v0, LoS expert + step)",
+         bench_shepherding, BASELINE_SHEPHERDING, "env-steps/s"),
+        ("env-steps/s (FormationFlying-v0, step-only)",
+         bench_formation, BASELINE_FORMATION, "env-steps/s"),
+        ("env-steps/s (LQR-v0, step-only)",
+         bench_lqr, BASELINE_LQR, "env-steps/s"),
+        ("env-steps/s (Mapping-v0, greedy expert + step)",
+         bench_mapping, BASELINE_MAPPING, "env-steps/s"),
+    ]:
+        try:
+            emit(metric, fn(), unit, base)
+        except Exception as e:  # pragma: no cover
+            print(f"# {metric} failed: {e!r}", flush=True)
 
     try:
         legacy = bench_legacy()
