@@ -150,21 +150,63 @@ def _mapping_helpers(x: jax.Array, unobserved: jax.Array, params: MappingParams)
     network = adj / n_neighbors if params.mean_pooling else adj
 
     # --- targets ---------------------------------------------------------
-    diff_t = x[:, None, 0:2] - params.target_x[None, :, :]  # [N, T, 2]
-    r2_t = diff_t[:, :, 0] ** 2 + diff_t[:, :, 1] ** 2
-    r2_t_masked = jnp.where(unobserved[None, :], r2_t, jnp.inf)
+    # The k nearest unobserved targets per agent.  NOT jax.lax.top_k: on
+    # TPU, TopK over the T = n_agents^2 = 10,000-wide target axis measured
+    # ~1 Gpair/s aggregate (2% of the flocking kernels' pair rate) and
+    # dominated the whole env step.  Instead run kt (= 7) rounds of
+    # min + first-match-index — each round is a plain fused VPU pass over
+    # the RECOMPUTED [N, T] distance expression (nothing [N, T]-sized is
+    # ever materialized; exclusions are <= kt-1 index compares per
+    # element).  Exactly equivalent to stable top_k: among tied distances
+    # the lower index wins each round, the next round takes the next one.
+    tgt = params.target_x  # [T, 2]
+    tn = tgt.shape[0]
+    iota_t = jnp.arange(tn, dtype=jnp.int32)
 
-    neg_r2, nearest_t = jax.lax.top_k(-r2_t_masked, kt)  # [N, kt]
-    valid = jnp.isfinite(-neg_r2)  # False once unobserved targets run out
-    tgt_diff = jnp.take_along_axis(diff_t, nearest_t[:, :, None], axis=1)
+    def _masked_r2(excl_idx):
+        # [N, T] squared distances; inf where observed or already chosen.
+        r2_row = (
+            (x[:, None, 0] - tgt[None, :, 0]) ** 2
+            + (x[:, None, 1] - tgt[None, :, 1]) ** 2
+        )
+        m = jnp.where(unobserved[None, :], r2_row, jnp.inf)
+        for e in excl_idx:
+            m = jnp.where(iota_t[None, :] == e[:, None], jnp.inf, m)
+        return m
+
+    chosen, min_r2 = [], []
+    for _ in range(kt):
+        r2_eff = _masked_r2(chosen)
+        m = jnp.min(r2_eff, axis=1)  # [N]
+        # first index attaining the min (all-inf rows hit index 0 — their
+        # value is +inf and the entry is zeroed by `valid` below, matching
+        # what top_k's arbitrary tie order produced after the same zeroing)
+        idx = jnp.min(
+            jnp.where(r2_eff == m[:, None], iota_t[None, :], tn), axis=1
+        )
+        idx = jnp.where(idx == tn, 0, idx).astype(jnp.int32)
+        chosen.append(idx)
+        min_r2.append(m)
+    nearest_t = jnp.stack(chosen, axis=1)  # [N, kt]
+    valid = jnp.isfinite(jnp.stack(min_r2, axis=1))  # [N, kt]
+
+    tgt_diff = x[:, None, 0:2] - tgt[nearest_t]  # [N, kt, 2]
     tgt_diff = jnp.where(valid[:, :, None], tgt_diff, 0.0)
     obs_target = tgt_diff.reshape((n, kt * 2))
 
-    newly = unobserved & (jnp.min(r2_t_masked, axis=0) < params.obs_rad2)  # [T]
+    r2_t_masked = _masked_r2([])  # fused into each consumer below
+    col_min = jnp.min(r2_t_masked, axis=0)  # [T]
+    newly = unobserved & (col_min < params.obs_rad2)  # [T]
 
     # per-agent credit: +1 iff nearest to >=1 newly observed target
-    # (duplicate-index assignment semantics, old/mapping_vel.py:209-211)
-    nearest_agent = jnp.argmin(r2_t_masked, axis=0)  # [T]
+    # (duplicate-index assignment semantics, old/mapping_vel.py:209-211).
+    # First-match min instead of argmin: variadic (value, index) reduces
+    # vectorize poorly on TPU (same routing as the coverage packed min).
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    nearest_agent = jnp.min(
+        jnp.where(r2_t_masked == col_min[None, :], iota_n[:, None], n), axis=0
+    )
+    nearest_agent = jnp.where(nearest_agent == n, 0, nearest_agent)
     credit = jnp.zeros((n,)).at[nearest_agent].max(newly.astype(jnp.float32))
 
     values_parts = []

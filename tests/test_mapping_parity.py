@@ -299,3 +299,41 @@ def test_mapping_disc_action_space_steppable():
     state, _ = env.reset_env(jax.random.key(1), params)
     state, _, r, d, _ = env.step_env(jax.random.key(2), state, a, params)
     assert jnp.isfinite(r).all()
+
+
+def test_iterative_target_selection_matches_topk():
+    """The kt-round min extraction in _mapping_helpers (the TPU-fast
+    replacement for jax.lax.top_k over the 10,000-wide target axis) is
+    exactly equivalent to stable top_k after the valid-zeroing: same
+    obs_target, newly, credit — fuzzed over densities including ties
+    (lattice targets make exact distance ties common), nearly-exhausted
+    and fully-exhausted unobserved sets."""
+    env, params = gft.make("Mapping-v0", n_agents=12)
+    rng = np.random.RandomState(0)
+    kt = params.nearest_targets
+    tgt = np.asarray(params.target_x)
+
+    def topk_reference(x, unobserved):
+        diff_t = x[:, None, 0:2] - tgt[None, :, :]
+        r2_t = diff_t[..., 0] ** 2 + diff_t[..., 1] ** 2
+        r2_m = np.where(unobserved[None, :], r2_t, np.inf)
+        neg, idx = jax.lax.top_k(jnp.asarray(-r2_m), kt)
+        valid = np.isfinite(-np.asarray(neg))
+        td = np.take_along_axis(diff_t, np.asarray(idx)[:, :, None], axis=1)
+        td = np.where(valid[:, :, None], td, 0.0)
+        return td.reshape((x.shape[0], kt * 2))
+
+    for frac in (1.0, 0.5, 0.01, 0.0005, 0.0):
+        x = np.zeros((12, 4))
+        # half the agents sit EXACTLY on lattice points -> exact ties
+        x[:, 0] = rng.uniform(-params.px_max, params.px_max, 12)
+        x[:, 1] = rng.uniform(-params.py_max, params.py_max, 12)
+        x[:6, 0:2] = tgt[rng.choice(len(tgt), 6, replace=False)]
+        unobserved = rng.rand(len(tgt)) < frac
+        values, network, obs_target, newly, credit = _mapping_helpers(
+            jnp.asarray(x), jnp.asarray(unobserved), params
+        )
+        np.testing.assert_allclose(
+            np.asarray(obs_target), topk_reference(x, unobserved),
+            rtol=0, atol=0,
+        )
