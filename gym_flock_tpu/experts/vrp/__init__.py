@@ -60,6 +60,14 @@ def _load() -> ctypes.CDLL:
         lib.vrp_solve_cheapest_arc.argtypes = argtypes
         lib.vrp_solve_or_default.restype = ctypes.c_int
         lib.vrp_solve_or_default.argtypes = argtypes
+        lib.vrp_solve_or_default_stats.restype = ctypes.c_int
+        lib.vrp_solve_or_default_stats.argtypes = argtypes + [
+            ctypes.POINTER(ctypes.c_longlong)
+        ]
+        lib.vrp_solve_or_default_rot.restype = ctypes.c_int
+        lib.vrp_solve_or_default_rot.argtypes = argtypes + [
+            ctypes.c_int, ctypes.c_int
+        ]
         _LIB = lib
     return _LIB
 
@@ -78,6 +86,9 @@ def solve_vrp_raw(
     init_loc: np.ndarray,
     max_route_time: float,
     mode: str = "or_default",
+    collect_stats: bool = False,
+    rot: int = 0,
+    last_accept: bool = False,
 ) -> List[List[int]]:
     """Solve the depot-augmented VRP; returns per-vehicle node sequences
     (1-based node ids as in the depot-augmented matrix, depot excluded).
@@ -95,6 +106,20 @@ def solve_vrp_raw(
       * ``"cheapest_arc"`` — OR-Tools PATH_CHEAPEST_ARC first-solution
         construction with exact arc ordering and tie-breaks (reference
         vrp_solver.py:115-134), no local search.
+
+    ``collect_stats`` (``or_default`` only): return ``(routes, stats)``
+    where ``stats = {"descent_steps": n, "ambiguous_steps": m}`` — m counts
+    accepted moves whose composite neighborhood held >= 2 improving moves
+    (the exposure of the documented enumeration-order caveat; the solve
+    itself is identical, the counting pass never mutates).
+
+    ``rot`` / ``last_accept`` (``or_default`` only): descent-path
+    perturbation probes over the same composite neighborhood — ``rot``
+    rotates the compound operator's initial order; ``last_accept`` applies
+    each operator's LAST improving move (first-accept of the reversed
+    intra-operator enumeration — exactly the unobservable axis of the
+    OR-Tools caveat).  rot=0, last_accept=False is the canonical solve.
+    Used to measure the outcome spread the ambiguity can cause.
     """
     lib = _load()
     n = time_matrix.shape[0]
@@ -105,15 +130,25 @@ def solve_vrp_raw(
     max_len = n + 2
     out = np.full((num_vehicles, max_len), -1, dtype=np.int32)
 
+    perturbed = bool(rot) or last_accept
+    if (collect_stats or perturbed) and mode != "or_default":
+        raise ValueError(
+            "collect_stats/rot/last_accept are only meaningful for mode='or_default'"
+        )
+    if collect_stats and perturbed:
+        raise ValueError("collect_stats and rot/last_accept are mutually exclusive")
     if mode == "cheapest_arc":
         fn = lib.vrp_solve_cheapest_arc
     elif mode == "or_default":
-        fn = lib.vrp_solve_or_default
+        fn = (lib.vrp_solve_or_default_stats if collect_stats
+              else lib.vrp_solve_or_default_rot if perturbed
+              else lib.vrp_solve_or_default)
     elif mode == "improve":
         fn = lib.vrp_solve
     else:
         raise ValueError(f"unknown VRP mode {mode!r}")
-    rc = fn(
+    stats_buf = np.zeros((2,), dtype=np.int64)
+    args = [
         tm.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         pen.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int(n),
@@ -122,7 +157,12 @@ def solve_vrp_raw(
         ctypes.c_double(max_route_time),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int(max_len),
-    )
+    ]
+    if collect_stats:
+        args.append(stats_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+    elif perturbed:
+        args.extend([ctypes.c_int(rot), ctypes.c_int(int(last_accept))])
+    rc = fn(*args)
     if rc != 0:
         raise RuntimeError(f"vrp_solve failed with code {rc}")
     routes = []
@@ -150,4 +190,9 @@ def solve_vrp_raw(
                     taken[r_i] = True
                     break
         routes = assigned
+    if collect_stats:
+        return routes, {
+            "descent_steps": int(stats_buf[0]),
+            "ambiguous_steps": int(stats_buf[1]),
+        }
     return routes

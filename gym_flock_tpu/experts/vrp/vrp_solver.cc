@@ -284,6 +284,28 @@ void construct_cheapest_arc_exact(const Problem& p,
 // implementations terminate at a local optimum of the same composite
 // neighborhood.  (No OR-Tools oracle exists in this environment to
 // differentially pin the enumeration order.)
+//
+// MEASURED EXPOSURE of this caveat on the actual label-generation
+// distribution (144 instances sampled from Coverage-v0 + CoverageARL-v0
+// bank graphs with greedy-rollout visited masks; instrumentation below,
+// test_vrp_expert.py::test_or_default_ambiguity_exposure_on_real_instances):
+//   * 99.7% of accepted descent steps (25,562 / 25,646) are taken from a
+//     composite neighborhood holding >= 2 improving moves — ambiguity is
+//     the norm, not a corner case;
+//   * reversing the intra-operator enumeration (last-accept probe, the
+//     exact unobservable axis) reaches a different local optimum on
+//     144/144 instances and changes 40.1% of per-robot NEXT-WAYPOINT
+//     labels (the quantity imitation learning consumes), with a median
+//     49% relative objective spread (penalty-dominated objectives: a few
+//     served-node differences each worth 500).
+// Consequence, stated honestly: the CONSTRUCTION (PATH_CHEAPEST_ARC) is
+// label-reproducible vs OR-Tools arc-for-arc; the DESCENT phase is
+// algorithm-class-faithful (same neighborhoods, acceptance, and stopping
+// rule) but its specific labels carry ~40% enumeration-order sensitivity,
+// so byte-reproducing OR-Tools' descent labels would require the exact
+// iterator order, which is unobservable from here.  Any consumer needing
+// deterministic labels should rely on mode="cheapest_arc" or accept
+// label-distribution (not label-sequence) equivalence for or_default.
 // ---------------------------------------------------------------------------
 
 struct Descent {
@@ -291,6 +313,22 @@ struct Descent {
   long long budget;
   std::vector<std::vector<int>>& routes;
   std::vector<char> in_route;  // node -> is active (on some route)
+  // Counting mode (ambiguity instrumentation, run(stats)): when apply_ is
+  // false every operator counts ALL improving feasible moves in its
+  // neighborhood into found_ instead of applying the first one — used to
+  // measure how often >= 2 improving moves coexist in the composite
+  // neighborhood (the only situation where OR-Tools' unobservable
+  // intra-operator enumeration order could steer the descent elsewhere).
+  bool apply_ = true;
+  long long found_ = 0;
+  // Last-accept probe (run(..., last_accept=true)): in apply mode the
+  // first skip_ improving candidates are passed over, so setting
+  // skip_ = count-1 applies an operator's LAST improving move — i.e. the
+  // first-accept of the REVERSED intra-operator enumeration.  This is the
+  // exact axis of the documented OR-Tools caveat (operator ORDER is known
+  // and fixed; intra-operator visit order is not), so first- vs
+  // last-accept brackets the outcome spread that ambiguity can cause.
+  long long skip_ = 0;
 
   Descent(const Problem& p_, std::vector<std::vector<int>>& r_)
       : p(p_), budget((long long)p_.max_time), routes(r_),
@@ -343,6 +381,9 @@ struct Descent {
             if (add - gain >= 0) continue;
             if (v2 == v1) {
               if (t1 - gain + add > budget) continue;
+              ++found_;
+              if (!apply_) continue;
+              if (found_ <= skip_) continue;
               std::vector<int> cand = r1;
               cand.erase(cand.begin() + i);
               cand.insert(cand.begin() + pos, x);
@@ -350,6 +391,9 @@ struct Descent {
             } else {
               long long t2 = rtime(routes[v2]);
               if (t1 - gain > budget || t2 + add > budget) continue;
+              ++found_;
+              if (!apply_) continue;
+              if (found_ <= skip_) continue;
               r1.erase(r1.begin() + i);
               routes[v2].insert(routes[v2].begin() + pos, x);
             }
@@ -378,6 +422,9 @@ struct Descent {
             long long tb = (v2 == v1) ? 0 : rtime(*c2);
             if (ta > budget || tb > budget) continue;
             if (ta + tb - before >= 0) continue;
+            ++found_;
+            if (!apply_) continue;
+            if (found_ <= skip_) continue;
             routes[v1] = std::move(c1);
             if (v2 != v1) routes[v2] = std::move(c2v);
             return true;
@@ -402,6 +449,9 @@ struct Descent {
             long long ta = rtime(c1), tb = rtime(c2);
             if (ta > budget || tb > budget) continue;
             if (ta + tb - before >= 0) continue;
+            ++found_;
+            if (!apply_) continue;
+            if (found_ <= skip_) continue;
             routes[v1] = std::move(c1);
             routes[v2] = std::move(c2);
             return true;
@@ -423,6 +473,9 @@ struct Descent {
           std::reverse(cand.begin() + i, cand.begin() + j + 1);
           long long t = rtime(cand);
           if (t > budget || t - t0 >= 0) continue;
+          ++found_;
+          if (!apply_) continue;
+          if (found_ <= skip_) continue;
           r = std::move(cand);
           return true;
         }
@@ -447,6 +500,9 @@ struct Descent {
             cand.insert(cand.begin() + pos, chain.begin(), chain.end());
             long long t = rtime(cand);
             if (t > budget || t - t0 >= 0) continue;
+            ++found_;
+            if (!apply_) continue;
+            if (found_ <= skip_) continue;
             r = std::move(cand);
             return true;
           }
@@ -468,6 +524,9 @@ struct Descent {
           long long add = arc(c, x) + (d >= 0 ? arc(x, d) - arc(c, d) : 0);
           if (add - pen(x) >= 0) continue;  // pays insertion, saves penalty
           if (t0 + add > budget) continue;
+          ++found_;
+          if (!apply_) continue;
+          if (found_ <= skip_) continue;
           r.insert(r.begin() + pos, x);
           in_route[x] = 1;
           return true;
@@ -490,6 +549,9 @@ struct Descent {
         // gain can be negative on non-metric matrices (e.g. removing a
         // route's first stop re-prices the depot arc at 100000)
         if (t0 - gain > budget) continue;
+        ++found_;
+        if (!apply_) continue;
+        if (found_ <= skip_) continue;
         r.erase(r.begin() + i);
         in_route[x] = 0;
         return true;
@@ -512,6 +574,9 @@ struct Descent {
           // drops x (pays pen(x)), activates u (saves pen(u))
           long long delta = (t - t0) + pen(x) - pen(u);
           if (t > budget || delta >= 0) continue;
+          ++found_;
+          if (!apply_) continue;
+          if (found_ <= skip_) continue;
           r = std::move(cand);
           in_route[x] = 0;
           in_route[u] = 1;
@@ -522,28 +587,76 @@ struct Descent {
     return false;
   }
 
-  void run() {
+  // Count ALL improving feasible moves across the composite neighborhood
+  // at the current solution (no mutation).  Used by run()'s ambiguity
+  // instrumentation; at most one descent step's worth of extra work per
+  // accepted move.
+  long long count_improving() {
+    bool (Descent::*ops[])() = {
+        &Descent::relocate,    &Descent::exchange,     &Descent::cross,
+        &Descent::two_opt_op,  &Descent::or_opt_op,    &Descent::make_active,
+        &Descent::make_inactive, &Descent::swap_active};
+    apply_ = false;
+    found_ = 0;
+    for (auto op : ops) (this->*op)();
+    apply_ = true;
+    return found_;
+  }
+
+  // stats (optional, both-or-neither): n_steps counts accepted descent
+  // moves, n_ambiguous those taken from a composite neighborhood holding
+  // >= 2 improving moves — the only steps where OR-Tools' unobservable
+  // enumeration order could pick differently.  rot rotates the initial
+  // operator order (descent-path perturbation probe: each rotation walks a
+  // different path through the SAME composite neighborhood and ends at a
+  // possibly different local optimum — used to measure the outcome spread
+  // the ambiguity can actually cause).
+  // Apply op's LAST improving move (reverse-enumeration probe): count the
+  // operator's improving moves, then re-run skipping all but the last.
+  bool apply_last(bool (Descent::*op)()) {
+    apply_ = false;
+    found_ = 0;
+    (this->*op)();
+    long long c = found_;
+    apply_ = true;
+    if (c == 0) return false;
+    skip_ = c - 1;
+    found_ = 0;
+    bool ok = (this->*op)();
+    skip_ = 0;
+    return ok;
+  }
+
+  void run(long long* n_steps = nullptr, long long* n_ambiguous = nullptr,
+           int rot = 0, bool last_accept = false) {
     bool (Descent::*ops[])() = {
         &Descent::relocate,    &Descent::exchange,     &Descent::cross,
         &Descent::two_opt_op,  &Descent::or_opt_op,    &Descent::make_active,
         &Descent::make_inactive, &Descent::swap_active};
     const int n_ops = 8;
-    int start = 0;
+    int start = ((rot % n_ops) + n_ops) % n_ops;
     long long guard = 0;
     // every accepted move strictly lowers an integer objective bounded by
     // the initial cost, so this terminates; the guard is a pure backstop
     const long long guard_max = 1000000;
     while (guard++ < guard_max) {
+      long long n_improving = -1;
+      if (n_steps) n_improving = count_improving();
       bool moved = false;
       for (int k = 0; k < n_ops; ++k) {
         int op = (start + k) % n_ops;
-        if ((this->*ops[op])()) {
+        bool ok = last_accept ? apply_last(ops[op]) : (this->*ops[op])();
+        if (ok) {
           start = op;  // CompoundOperator resumes from the last success
           moved = true;
           break;
         }
       }
       if (!moved) break;  // local optimum of the composite neighborhood
+      if (n_steps) {
+        ++*n_steps;
+        if (n_improving >= 2) ++*n_ambiguous;
+      }
     }
   }
 };
@@ -753,6 +866,62 @@ int vrp_solve_or_default(const double* time_matrix, const double* penalties,
   construct_cheapest_arc_exact(p, routes);
   Descent d(p, routes);
   d.run();
+  for (int v = 0; v < num_vehicles; ++v) {
+    int len = std::min<int>(routes[v].size(), max_len - 1);
+    for (int i = 0; i < len; ++i) out[v * max_len + i] = routes[v][i];
+    out[v * max_len + len] = -1;
+  }
+  return 0;
+}
+
+// or_default with ambiguity instrumentation: identical solve (the counting
+// pass never mutates), plus stats_out[0] = accepted descent steps and
+// stats_out[1] = steps whose composite neighborhood held >= 2 improving
+// moves (the exposure of the documented enumeration-order caveat).
+int vrp_solve_or_default_stats(const double* time_matrix,
+                               const double* penalties, int n_nodes,
+                               int num_vehicles, const int* init_loc,
+                               double max_route_time, int32_t* out,
+                               int max_len, long long* stats_out) {
+  (void)init_loc;
+  if (n_nodes <= 1 || num_vehicles <= 0) return -1;
+  Problem p{n_nodes, num_vehicles, max_route_time, time_matrix, penalties};
+  std::vector<std::vector<int>> routes;
+  construct_cheapest_arc_exact(p, routes);
+  long long steps = 0, ambiguous = 0;
+  Descent d(p, routes);
+  d.run(&steps, &ambiguous);
+  stats_out[0] = steps;
+  stats_out[1] = ambiguous;
+  for (int v = 0; v < num_vehicles; ++v) {
+    int len = std::min<int>(routes[v].size(), max_len - 1);
+    for (int i = 0; i < len; ++i) out[v * max_len + i] = routes[v][i];
+    out[v * max_len + len] = -1;
+  }
+  return 0;
+}
+
+// Descent-path perturbation probe: or_default with the compound operator's
+// initial order rotated by `rot` and/or intra-operator enumeration reversed
+// (`last_accept` != 0 applies each operator's LAST improving move — the
+// first-accept of the reversed candidate order, which is exactly the
+// unobservable axis of the OR-Tools caveat).  rot = 0, last_accept = 0 is
+// exactly vrp_solve_or_default.  Every variant runs a first-accept descent
+// over the same composite neighborhood and stops at one of its local
+// optima; comparing outputs across variants measures how much the
+// enumeration-order ambiguity can move the label-relevant outcome.
+int vrp_solve_or_default_rot(const double* time_matrix,
+                             const double* penalties, int n_nodes,
+                             int num_vehicles, const int* init_loc,
+                             double max_route_time, int32_t* out, int max_len,
+                             int rot, int last_accept) {
+  (void)init_loc;
+  if (n_nodes <= 1 || num_vehicles <= 0) return -1;
+  Problem p{n_nodes, num_vehicles, max_route_time, time_matrix, penalties};
+  std::vector<std::vector<int>> routes;
+  construct_cheapest_arc_exact(p, routes);
+  Descent d(p, routes);
+  d.run(nullptr, nullptr, rot, last_accept != 0);
   for (int v = 0; v < num_vehicles; ++v) {
     int len = std::min<int>(routes[v].size(), max_len - 1);
     for (int i = 0; i < len; ++i) out[v * max_len + i] = routes[v][i];

