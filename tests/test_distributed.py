@@ -6,6 +6,7 @@ virtual 8-CPU mesh.  The workers are subprocesses that set their own
 XLA/JAX platform env (tests/helpers/dist_worker.py), so this runs the same
 everywhere regardless of the parent's backend.
 """
+import pytest
 
 
 def test_two_process_distributed_train_step():
@@ -41,3 +42,27 @@ def test_two_process_distributed_train_step():
         line = [l for l in out.splitlines() if "loss=" in l][-1]
         losses.append(float(line.split("loss=")[1].split()[0]))
     assert losses[0] == losses[1], losses  # pmean'd loss identical across hosts
+
+
+@pytest.mark.slow
+def test_bench_multichip_dryrun_validates():
+    """benchmarks/bench_multichip.py --dryrun compiles + executes the
+    dp-sharded measurement programs on the 8-device virtual CPU mesh
+    (VERDICT r3 next #8: pod access converts to the north-star measurement
+    with zero new code)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    out = subprocess.run(
+        [sys.executable,
+         str(Path(__file__).parent.parent / "benchmarks" / "bench_multichip.py"),
+         "--dryrun"],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(lines) == 2
+    assert all(l["devices"] == 8 and l["dryrun"] for l in lines)
+    assert all(l["value"] > 0 for l in lines)
