@@ -26,12 +26,14 @@ Metrics (schema per line: {"metric", "value", "unit", "vs_baseline"}):
    Baseline: reference agent-steps/s at N=100 (835 * 100).
 5-8. The four remaining env families (VERDICT r3 next #1), batched on
    the chip with the full obs consumed every step:
-   Shepherding-v0 (LoS expert + step; baseline ~363 env-steps/s),
+   Shepherding-v0 (LoS expert + step; baseline ~769 env-steps/s),
    FormationFlying-v0 (step-only — the reference env has no controller();
-   baseline ~1,766), LQR-v0 (step-only — reference controller() returns
-   None; baseline ~49,066), Mapping-v0 (greedy expert + step; baseline
-   ~415).  Baselines measured on the reference in this container by
-   benchmarks/reference_baselines.py (best-of-5 over 5 runs, BASELINE.md).
+   baseline ~3,072), LQR-v0 (step-only — reference controller() returns
+   None; baseline ~89,467), Mapping-v0 (greedy expert + step; baseline
+   ~642).  Baselines measured on the reference in this container by
+   benchmarks/reference_baselines.py (each invocation reports best-of-5;
+   the recorded values are the best over 8 invocations spread across box
+   load — see BASELINE.md).
 9/10/11. Legacy single-stream interop (compat.make_legacy on CPU, the
    reference's own usage pattern) for flocking + coverage + CoverageARL,
    run as a subprocess so the host backend is isolated from the TPU

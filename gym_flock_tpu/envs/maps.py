@@ -68,8 +68,14 @@ def reference_map_dirs() -> list:
     except (ImportError, ValueError):  # pragma: no cover
         pass
 
-    ref = os.environ.get("GYM_FLOCK_REFERENCE", "/root/reference")
-    dirs.append(Path(ref) / "gym_flock" / "envs" / "spatial" / "maps")
+    # both the env-var checkout AND the conventional /root/reference
+    # location are searched (documented order items 4 and 5) — a wrong
+    # $GYM_FLOCK_REFERENCE must not hide a checkout at the default path
+    ref = os.environ.get("GYM_FLOCK_REFERENCE")
+    for checkout in ([ref] if ref else []) + ["/root/reference"]:
+        d = Path(checkout) / "gym_flock" / "envs" / "spatial" / "maps"
+        if d not in dirs:
+            dirs.append(d)
     return dirs
 
 

@@ -321,7 +321,14 @@ def test_iterative_target_selection_matches_topk():
         valid = np.isfinite(-np.asarray(neg))
         td = np.take_along_axis(diff_t, np.asarray(idx)[:, :, None], axis=1)
         td = np.where(valid[:, :, None], td, 0.0)
-        return td.reshape((x.shape[0], kt * 2))
+        obs_t = td.reshape((x.shape[0], kt * 2))
+        # the argmin-formulation reference for newly/credit (the rewrite
+        # replaced these with first-match mins too)
+        newly = unobserved & (np.min(r2_m, axis=0) < float(params.obs_rad2))
+        nearest_agent = np.argmin(r2_m, axis=0)
+        credit = np.zeros((x.shape[0],))
+        np.maximum.at(credit, nearest_agent, newly.astype(np.float64))
+        return obs_t, newly, credit
 
     for frac in (1.0, 0.5, 0.01, 0.0005, 0.0):
         x = np.zeros((12, 4))
@@ -333,7 +340,7 @@ def test_iterative_target_selection_matches_topk():
         values, network, obs_target, newly, credit = _mapping_helpers(
             jnp.asarray(x), jnp.asarray(unobserved), params
         )
-        np.testing.assert_allclose(
-            np.asarray(obs_target), topk_reference(x, unobserved),
-            rtol=0, atol=0,
-        )
+        ref_obs, ref_newly, ref_credit = topk_reference(x, unobserved)
+        np.testing.assert_allclose(np.asarray(obs_target), ref_obs, rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(newly), ref_newly)
+        np.testing.assert_allclose(np.asarray(credit), ref_credit, rtol=0, atol=0)
