@@ -21,6 +21,10 @@ from gym_flock_tpu.parallel.train_coverage import (
     CoverageDaggerTrainer,
     CoverageImitationTrainer,
 )
+from gym_flock_tpu.parallel.vrp_labels import (
+    collect_vrp_labeled_batch,
+    vrp_label_states,
+)
 from gym_flock_tpu.parallel.dagger import DaggerTrainer, DaggerState
 from gym_flock_tpu.parallel.agent_shard import (
     make_flock_mesh,

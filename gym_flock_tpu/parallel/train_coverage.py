@@ -152,6 +152,17 @@ class CoverageImitationTrainer:
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
+    @partial(jax.jit, static_argnums=0)
+    def update_from_batch(self, carry, batch):
+        """One optimizer step on an EXTERNALLY collected batch — e.g. the
+        host-parallel VRP-labeled batches of ``parallel.vrp_labels``
+        (same dict layout as ``collect_coverage_batch``)."""
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(self.loss_fn)(params, batch)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
     def fit(
         self,
         key: jax.Array,
