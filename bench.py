@@ -253,8 +253,9 @@ def bench_explore_full(B=512, T=32):
     row_bytes = R * Tn * (mm.dtype.itemsize if mm is not None else 4)
     onehot_bytes = sum(
         int(np.prod(p.bank[key].shape)) * p.bank[key].dtype.itemsize
-        for key in ("hide_send_onehot", "hide_recv_onehot", "hide_tail_onehot")
-        if key in p.bank
+        for key in p.bank
+        if key in ("hide_send_onehot", "hide_recv_onehot")
+        or key.startswith("disc_reach_r")
     )
     contract_per_step = B * (2 * obs_bytes + row_bytes) + onehot_bytes
     # bytes per env-step x env-steps/s = bytes/s of contract traffic

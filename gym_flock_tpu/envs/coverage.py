@@ -620,13 +620,35 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         out_senders = senders
         if params.hide_nodes:
             # ---- discovery + frontier (coverage.py:334-346)
-            target_pos = params.bank["target_pos"][g]
-            robot_pos = target_pos[cur]
-            all_pos = jnp.concatenate([robot_pos, target_pos], axis=0)
-            from gym_flock_tpu.ops.pairwise import nodes_within_radius
+            reach_key = f"disc_reach_r{float(params.discover_radius):g}"
+            if reach_key in params.bank:
+                # static reach-table route (coverage_graph.disc_reach_operand):
+                # robots sit ON nodes, so discovery is node occupancy x a
+                # per-graph reach relation — one one-hot bf16 matmul instead
+                # of the [R, n_all] pairwise sqrt pass (measured ~6 ms of the
+                # 24 ms ExploreFull batched step).  Key presence is static;
+                # the key embeds the radius so a post-factory override falls
+                # back to the pairwise path below.
+                Wr = params.bank[reach_key]  # [G*T, T] bf16 0/1
+                Gn = params.bank["target_mask"].shape[0]
+                occ = jnp.zeros((T,), jnp.bfloat16).at[cur].set(1)
+                occ_seg = (
+                    jnp.where(jnp.arange(Gn)[:, None] == g, occ[None, :], 0)
+                    .reshape((Gn * T,))
+                    .astype(jnp.bfloat16)
+                )
+                cnt = jnp.dot(occ_seg, Wr, preferred_element_type=jnp.float32)
+                seen_targets = (cnt > 0.0) & mask
+            else:
+                target_pos_d = params.bank["target_pos"][g]
+                robot_pos_d = target_pos_d[cur]
+                all_pos = jnp.concatenate([robot_pos_d, target_pos_d], axis=0)
+                from gym_flock_tpu.ops.pairwise import nodes_within_radius
 
-            seen = nodes_within_radius(params.discover_radius, robot_pos, all_pos)
-            seen_targets = seen[R:] & mask
+                seen = nodes_within_radius(
+                    params.discover_radius, robot_pos_d, all_pos
+                )
+                seen_targets = seen[R:] & mask
             discovered = jnp.maximum(
                 discovered, seen_targets.astype(jnp.float32)
             )
@@ -1122,6 +1144,21 @@ def coverage_factory(variant: str):
                 # in place: default_coverage_bank memoizes the dict, so the
                 # operands are built once per bank, not once per make()
                 bank.update(hide_mm_operands(bank, cfg["n_robots"]))
+            # static discovery-reach table (one one-hot matmul replaces the
+            # per-step [R, n_all] pairwise sqrt pass); keyed by radius so a
+            # post-factory discover_radius override falls back cleanly
+            disc_r = cfg.get(
+                "discover_radius", CoverageParams.__dataclass_fields__[
+                    "discover_radius"].default
+            )
+            T_b = bank["target_mask"].shape[1]
+            if (
+                f"disc_reach_r{float(disc_r):g}" not in bank
+                and G_b * T_b * T_b * 2 <= 256 * 1024 * 1024
+            ):
+                from gym_flock_tpu.envs.coverage_graph import disc_reach_operand
+
+                bank.update(disc_reach_operand(bank, float(disc_r)))
             cfg.setdefault("max_neighbor_dist", maxd)
         params = CoverageParams(bank=bank, **cfg)
         if params.comm_edges:

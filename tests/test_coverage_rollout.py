@@ -485,3 +485,44 @@ def test_packed_min_greedy_matches_argmin_path():
         np.testing.assert_array_equal(np.asarray(u_packed), np.asarray(u_argmin))
         np.testing.assert_array_equal(np.asarray(u_packed), np.asarray(u_mm))
         state, _, _, _, _ = env.step_env(kt, state, u_packed, params)
+
+
+def test_disc_reach_table_matches_pairwise_discovery():
+    """The static discovery-reach table (coverage_graph.disc_reach_operand,
+    one one-hot matmul) is equivalent to the [R, n_all] pairwise
+    nodes_within_radius pass: identical discovered masks, obs leaves,
+    rewards and greedy actions over a 12-step rollout; a post-factory
+    discover_radius override misses the radius-embedded key and falls
+    back to the pairwise path."""
+    env, params = gft.make("ExploreEnv-v0", n_graphs=2)
+    reach_keys = [k for k in params.bank if k.startswith("disc_reach_r")]
+    assert reach_keys, "factory should attach the reach table"
+
+    bank_no = {k: v for k, v in params.bank.items() if not k.startswith("disc_reach")}
+    p_fall = params.replace(bank=bank_no)
+    key = jax.random.key(0)
+    s1, o1 = env.reset_env(key, params)
+    s2, o2 = env.reset_env(key, p_fall)
+    for t in range(12):
+        kt = jax.random.key(100 + t)
+        u1 = env.controller(s1, params, key=kt, greedy=True)
+        u2 = env.controller(s2, p_fall, key=kt, greedy=True)
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+        s1, o1, r1, d1, _ = env.step_env(kt, s1, u1, params)
+        s2, o2, r2, d2, _ = env.step_env(kt, s2, u2, p_fall)
+        np.testing.assert_array_equal(
+            np.asarray(s1.discovered), np.asarray(s2.discovered)
+        )
+        for k in o1:
+            np.testing.assert_array_equal(
+                np.asarray(o1[k]), np.asarray(o2[k]), err_msg=k
+            )
+        assert float(r1) == float(r2)
+
+    # radius override -> static key miss -> pairwise fallback still works
+    p_over = params.replace(discover_radius=float(params.discover_radius) * 2)
+    assert f"disc_reach_r{float(p_over.discover_radius):g}" not in p_over.bank
+    s3, o3 = env.reset_env(key, p_over)
+    u3 = env.controller(s3, p_over, key=key, greedy=True)
+    s3, o3, r3, d3, _ = env.step_env(key, s3, u3, p_over)
+    assert np.isfinite(float(r3))
