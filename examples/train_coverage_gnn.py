@@ -7,6 +7,12 @@ graphs, action-edge cross-entropy.
 
     python examples/train_coverage_gnn.py --cpu --iters 20
     python examples/train_coverage_gnn.py --dagger --iters 10
+    python examples/train_coverage_gnn.py --vrp-labels --workers 4
+
+--vrp-labels trains on host-parallel VRP expert labels (the high-quality
+expert labels states the on-device greedy behavior policy visits —
+parallel.vrp_labels; the C++ solves fan across a CPU thread pool while
+the device collects the next rollout's obs).
 """
 import argparse
 import sys
@@ -26,6 +32,11 @@ def main():
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--dagger", action="store_true",
                    help="DAGGER beta-mixture aggregation instead of plain BC")
+    p.add_argument("--vrp-labels", action="store_true",
+                   help="label rollout states with the host-parallel VRP "
+                        "expert instead of the on-device greedy expert")
+    p.add_argument("--workers", type=int, default=4,
+                   help="CPU labeling threads for --vrp-labels")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -39,7 +50,25 @@ def main():
     env, params = gft.make(args.env, n_graphs=args.graphs)
     key = jax.random.key(args.seed)
 
-    if args.dagger:
+    if args.vrp_labels:
+        from gym_flock_tpu.parallel import (
+            CoverageImitationTrainer,
+            collect_vrp_labeled_batch,
+        )
+
+        trainer = CoverageImitationTrainer(env, params, learning_rate=args.lr)
+        carry = trainer.init(key)
+        losses = []
+        for i in range(args.iters):
+            key, k = jax.random.split(key)
+            batch = collect_vrp_labeled_batch(
+                env, params, k, n_envs=args.envs, n_steps=args.steps,
+                workers=args.workers,
+            )
+            carry, loss = trainer.update_from_batch(carry, batch)
+            losses.append(float(loss))
+        print("VRP-label BC losses:", [round(l, 4) for l in losses])
+    elif args.dagger:
         from gym_flock_tpu.parallel import CoverageDaggerTrainer
 
         trainer = CoverageDaggerTrainer(env, params, learning_rate=args.lr)
