@@ -351,10 +351,12 @@ def bench_lqr(B=4096, T=64):
     return _bench_family("LQR-v0", B, T, policy)
 
 
-def bench_mapping(B=256, T=32):
+def bench_mapping(B=128, T=32):
     """Greedy nearest-unobserved expert + step (old/mapping.py:139-165 +
     :224-232): 100 agents sweeping a 10,000-target lattice — the [N,T]
-    distance pass dominates."""
+    distance pass dominates.  B-sweep measured on the chip: 128/256/512
+    -> 15.0k/14.1k/14.2k steps/s; the pass is VPU-bound, so smaller
+    batches win slightly on scheduling."""
     return _bench_family(
         "Mapping-v0", B, T,
         lambda env, s, p, k: env.controller(s, p),

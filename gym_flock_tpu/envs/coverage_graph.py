@@ -559,10 +559,18 @@ def disc_reach_operand(bank, discover_radius: float):
     pos = np.asarray(bank["target_pos"], dtype=np.float64)  # [G, T, 2]
     G, T, _ = pos.shape
     W = np.zeros((G * T, T), dtype=np.float32)
+    rad = float(discover_radius)
+    # row-chunked build: the naive [T, T, 2] f64 diff stack peaks at 24
+    # bytes/pair (~3 GB for an 11k-node graph that still passes the
+    # factory's device-bytes guard); chunking keeps the transient at
+    # O(chunk * T) with identical f64 arithmetic per pair
+    chunk = max(1, (32 << 20) // max(T * 24, 1))
     for g in range(G):
-        d = pos[g][:, None, :] - pos[g][None, :, :]
-        r = np.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
-        W[g * T : (g + 1) * T] = ((r > 0.0) & (r <= float(discover_radius)))
+        for lo in range(0, T, chunk):
+            hi = min(lo + chunk, T)
+            d = pos[g][lo:hi, None, :] - pos[g][None, :, :]
+            r = np.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
+            W[g * T + lo : g * T + hi] = (r > 0.0) & (r <= rad)
     return {
         f"disc_reach_r{float(discover_radius):g}": jnp.asarray(W, jnp.bfloat16)
     }

@@ -25,6 +25,11 @@ Search order (first hit wins):
 5. ``/root/reference`` — the conventional read-only checkout location this
    repo's parity suite uses (tests/reference_oracle.py).
 
+Because the bundled copies (item 2) are byte-identical to the reference's
+and sit ahead of items 3-5, CUSTOM map files placed in a checkout are
+shadowed by them — to substitute your own ``grid_sliceN.npy``, point
+``$GYM_FLOCK_TPU_MAPS`` (item 1, the explicit override) at its directory.
+
 Converting a map into device-ready graph banks takes tens of seconds for
 the full-facility variants (all-pairs hop costs on thousands of nodes);
 banks are content-keyed and disk-cached by ``default_coverage_bank``, so

@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import List, Optional
 
@@ -19,6 +20,7 @@ __all__ = ["solve_vrp_raw", "native_available"]
 
 _HERE = Path(__file__).parent
 _LIB: Optional[ctypes.CDLL] = None
+_LOAD_LOCK = threading.Lock()  # first-use build/load vs thread-pooled callers
 
 
 def _build_library() -> Path:
@@ -26,6 +28,10 @@ def _build_library() -> Path:
     lib = _HERE / "libvrp.so"
     if lib.exists() and lib.stat().st_mtime >= src.stat().st_mtime:
         return lib
+    # build to a tmp path + atomic rename: concurrent first-use callers
+    # (e.g. the thread-pooled labeler on a clean checkout, or two pytest
+    # workers) must never see a half-written .so
+    tmp = _HERE / f".libvrp.build.{os.getpid()}.so"
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O3",
@@ -33,14 +39,25 @@ def _build_library() -> Path:
         "-fPIC",
         "-std=c++17",
         "-o",
-        str(lib),
+        str(tmp),
         str(src),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, lib)
     return lib
 
 
 def _load() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        with _LOAD_LOCK:
+            if _LIB is not None:  # raced another thread to the lock
+                return _LIB
+            return _load_locked()
+    return _LIB
+
+
+def _load_locked() -> ctypes.CDLL:
     global _LIB
     if _LIB is None:
         lib = ctypes.CDLL(str(_build_library()))

@@ -145,18 +145,18 @@ class CoverageImitationTrainer:
 
     @partial(jax.jit, static_argnums=(0, 3, 4))
     def train_step(self, carry, key, n_envs: int = 4, n_steps: int = 8):
-        params, opt_state = carry
         batch = collect_coverage_batch(self.env, self.env_params, key, n_envs, n_steps)
-        loss, grads = jax.value_and_grad(self.loss_fn)(params, batch)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+        return self._update(carry, batch)
 
     @partial(jax.jit, static_argnums=0)
     def update_from_batch(self, carry, batch):
         """One optimizer step on an EXTERNALLY collected batch — e.g. the
         host-parallel VRP-labeled batches of ``parallel.vrp_labels``
         (same dict layout as ``collect_coverage_batch``)."""
+        return self._update(carry, batch)
+
+    def _update(self, carry, batch):
+        # the single grad/update body both entry points share
         params, opt_state = carry
         loss, grads = jax.value_and_grad(self.loss_fn)(params, batch)
         updates, opt_state = self.tx.update(grads, opt_state, params)

@@ -62,8 +62,17 @@ def vrp_label_states(
     n = int(np.asarray(states["graph"]).shape[0])
     host = {k: np.asarray(v) for k, v in states.items()}
 
+    # hoist the bank leaves the policy reads to host ONCE: the policy does
+    # np.asarray(bank[...][g]) per call, which on device arrays would
+    # re-transfer the full [G, T, T] cost/predecessor tables per labeled
+    # state (megabytes x n states); on numpy arrays it is a free view
+    host_bank = dict(params.bank)
+    for k in ("n_targets", "graph_cost", "graph_prev", "neighbor_table"):
+        host_bank[k] = np.asarray(params.bank[k])
+    params_host = params.replace(bank=host_bank)
+
     def one(i: int) -> np.ndarray:
-        policy = CoverageVRPPolicy(params, horizon=-1, mode=mode)
+        policy = CoverageVRPPolicy(params_host, horizon=-1, mode=mode)
         sv = _StateView(
             graph=host["graph"][i],
             robot_loc=host["robot_loc"][i],

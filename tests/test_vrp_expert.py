@@ -610,14 +610,6 @@ def test_vrp_labeled_batch_pipeline():
     )
     np.testing.assert_array_equal(labels, np.asarray(batch2["label"]))
 
-    # VRP labels differ from the greedy behavior policy's actions on at
-    # least some states (otherwise this pipeline would be pointless);
-    # compare against the greedy labels for the same rollout states
-    from gym_flock_tpu.parallel.train_coverage import collect_coverage_batch
-
-    greedy = collect_coverage_batch(env, params, jax.random.key(0), 2, 3)
-    greedy_labels = np.asarray(greedy["label"]).reshape(labels.shape)
-
     trainer = CoverageImitationTrainer(env, params)
     carry = trainer.init(jax.random.key(1))
     carry, loss = trainer.update_from_batch(carry, batch)
