@@ -620,7 +620,9 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         out_senders = senders
         if params.hide_nodes:
             # ---- discovery + frontier (coverage.py:334-346)
-            reach_key = f"disc_reach_r{float(params.discover_radius):g}"
+            from gym_flock_tpu.envs.coverage_graph import reach_key as _rkey
+
+            reach_key = _rkey(params.discover_radius)
             if reach_key in params.bank:
                 # static reach-table route (coverage_graph.disc_reach_operand):
                 # robots sit ON nodes, so discovery is node occupancy x a
@@ -1152,12 +1154,26 @@ def coverage_factory(variant: str):
                     "discover_radius"].default
             )
             T_b = bank["target_mask"].shape[1]
+            from gym_flock_tpu.envs.coverage_graph import (
+                disc_reach_operand,
+                reach_key,
+            )
+
             if (
-                f"disc_reach_r{float(disc_r):g}" not in bank
+                reach_key(disc_r) not in bank
                 and G_b * T_b * T_b * 2 <= 256 * 1024 * 1024
             ):
-                from gym_flock_tpu.envs.coverage_graph import disc_reach_operand
-
+                # cap device residency (ADVICE r4 #3): the memoized bank
+                # would otherwise accumulate one [G*T,T] bf16 table per
+                # distinct radius for the process lifetime.  Keep at most
+                # _MAX_REACH_TABLES; evict oldest-inserted first.  Eviction
+                # only affects a RE-trace of an old env (its key lookup
+                # misses -> the exact pairwise fallback path), never an
+                # already-compiled program (which holds the array itself).
+                _MAX_REACH_TABLES = 4
+                have = [k for k in bank if k.startswith("disc_reach_r")]
+                for k in have[: max(0, len(have) - (_MAX_REACH_TABLES - 1))]:
+                    del bank[k]
                 bank.update(disc_reach_operand(bank, float(disc_r)))
             cfg.setdefault("max_neighbor_dist", maxd)
         params = CoverageParams(bank=bank, **cfg)

@@ -529,6 +529,15 @@ def hide_mm_operands(bank, n_robots: int):
     }
 
 
+def reach_key(discover_radius: float) -> str:
+    """Bank key for the discovery-reach table of ``discover_radius``.
+
+    Keyed by ``float.hex()`` — full precision, so radii differing past 6
+    significant digits (e.g. 5.0 vs 5.0000001) can never collide the way a
+    ``%g`` key would and silently reuse a stale table (ADVICE r4 #1)."""
+    return f"disc_reach_r{float(discover_radius).hex()}"
+
+
 def disc_reach_operand(bank, discover_radius: float):
     """Static node->node discovery-reach table for the hide-nodes update.
 
@@ -571,9 +580,7 @@ def disc_reach_operand(bank, discover_radius: float):
             d = pos[g][lo:hi, None, :] - pos[g][None, :, :]
             r = np.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
             W[g * T + lo : g * T + hi] = (r > 0.0) & (r <= rad)
-    return {
-        f"disc_reach_r{float(discover_radius):g}": jnp.asarray(W, jnp.bfloat16)
-    }
+    return {reach_key(discover_radius): jnp.asarray(W, jnp.bfloat16)}
 
 
 # =============================================================================

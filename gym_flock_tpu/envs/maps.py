@@ -92,11 +92,49 @@ def find_reference_map(downsample_rate: int = 10) -> Optional[str]:
     coverage_explore_full.py:3 both pin DOWNSAMPLE_RATE = 10).
     """
     name = f"grid_slice{downsample_rate}.npy"
-    for d in reference_map_dirs():
+    dirs = reference_map_dirs()
+    for i, d in enumerate(dirs):
         p = d / name
         try:
             if p.is_file():
+                _warn_if_shadowing(p, name, dirs[i + 1 :])
                 return str(p)
         except OSError:  # pragma: no cover
             continue
     return None
+
+
+_warned_shadow: set = set()
+
+
+def _warn_if_shadowing(hit: Path, name: str, lower_dirs: list) -> None:
+    """One-time warning when a lower-priority source holds a DIFFERENT
+    ``grid_sliceN.npy`` than the one selected (ADVICE r4 #4): users who
+    placed custom map files in a checkout would otherwise silently get the
+    bundled byte-identical-to-reference copies.  Same-content copies (the
+    normal case — bundled data shadowing the reference checkout) stay
+    silent."""
+    if name in _warned_shadow:
+        return
+    import hashlib
+
+    try:
+        hit_md5 = hashlib.md5(hit.read_bytes()).hexdigest()
+    except OSError:  # pragma: no cover
+        return
+    for d in lower_dirs:
+        q = d / name
+        try:
+            if q.is_file() and hashlib.md5(q.read_bytes()).hexdigest() != hit_md5:
+                import warnings
+
+                _warned_shadow.add(name)
+                warnings.warn(
+                    f"{hit} shadows a different {name} at {q}; set "
+                    "$GYM_FLOCK_TPU_MAPS to that directory to use it instead",
+                    stacklevel=3,
+                )
+                return
+        except OSError:  # pragma: no cover
+            continue
+    _warned_shadow.add(name)

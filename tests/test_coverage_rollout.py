@@ -521,8 +521,105 @@ def test_disc_reach_table_matches_pairwise_discovery():
 
     # radius override -> static key miss -> pairwise fallback still works
     p_over = params.replace(discover_radius=float(params.discover_radius) * 2)
-    assert f"disc_reach_r{float(p_over.discover_radius):g}" not in p_over.bank
+    from gym_flock_tpu.envs.coverage_graph import reach_key
+
+    assert reach_key(p_over.discover_radius) not in p_over.bank
     s3, o3 = env.reset_env(key, p_over)
     u3 = env.controller(s3, p_over, key=key, greedy=True)
     s3, o3, r3, d3, _ = env.step_env(key, s3, u3, p_over)
     assert np.isfinite(float(r3))
+
+
+def test_reach_key_full_precision():
+    """ADVICE r4 #1: radii differing past 6 significant digits must not
+    collide (the old %g key mapped 5.0 and 5.0000001 to the same table)."""
+    from gym_flock_tpu.envs.coverage_graph import reach_key
+
+    assert reach_key(5.0) != reach_key(5.0000001)
+    assert reach_key(5.0) == reach_key(5)
+    # round-trips: the key embeds the exact float
+    assert float.fromhex(reach_key(2.5)[len("disc_reach_r"):]) == 2.5
+
+
+def test_disc_reach_tie_case_is_f64_canonical():
+    """ADVICE r4 #2: the reach table decides distance==radius boundary ties
+    at f64 over the bank-stored f32 positions (like the reference's NumPy,
+    utils.py:27-39), while the f32 runtime fallback may round the other
+    way.  Pin the canonical behavior: find an f32 coordinate pair whose
+    f32-arithmetic decision differs from f64, and assert the table sides
+    with f64."""
+    from gym_flock_tpu.envs.coverage_graph import disc_reach_operand, reach_key
+
+    rad = 1.0
+    found = None
+    # scan f32 lattice offsets near r/sqrt(2): dx=dy=c, dist=c*sqrt(2)
+    base = np.float32(rad / np.sqrt(2.0))
+    for i in range(-3000, 3000):
+        c = np.float32(base + np.float32(i) * np.float32(6e-8))
+        # f32 sequence of ops.pairwise.nodes_within_radius: diff, square,
+        # sum, sqrt, compare — all at f32
+        d32 = np.sqrt(np.float32(c) * np.float32(c) + np.float32(c) * np.float32(c))
+        in32 = bool(d32 <= np.float32(rad))
+        cd = np.float64(c)
+        in64 = bool(np.sqrt(cd * cd + cd * cd) <= rad)
+        if in32 != in64:
+            found = (c, in32, in64)
+            break
+    assert found is not None, "no f32/f64 boundary disagreement found in scan"
+    c, in32, in64 = found
+    pos = np.zeros((1, 2, 2), dtype=np.float32)
+    pos[0, 1] = (c, c)
+    table = disc_reach_operand({"target_pos": pos}, rad)[reach_key(rad)]
+    got = bool(np.asarray(table, dtype=np.float32)[0, 1] > 0)
+    assert got == in64, (
+        f"table must decide ties at f64 (f32 says {in32}, f64 says {in64})"
+    )
+
+
+def test_disc_reach_table_eviction_cap():
+    """ADVICE r4 #3: sweeping discover_radius across many make() calls must
+    not accumulate unbounded device-resident reach tables in the shared
+    memoized bank — at most 4 disc_reach_* keys are kept (oldest evicted),
+    and the most recent radius always has its table attached."""
+    from gym_flock_tpu.envs.coverage_graph import reach_key
+
+    radii = [1.3, 1.4, 1.5, 1.6, 1.7, 1.8]
+    for r in radii:
+        env, params = gft.make("ExploreEnv-v0", n_graphs=2, discover_radius=r)
+        assert reach_key(r) in params.bank
+    keys = [k for k in params.bank if k.startswith("disc_reach_r")]
+    assert len(keys) <= 4, keys
+    assert reach_key(radii[-1]) in keys
+
+
+def test_shadowed_custom_map_warns(tmp_path, monkeypatch):
+    """ADVICE r4 #4: when the bundled maps shadow a DIFFERENT
+    grid_sliceN.npy in a lower-priority source (e.g. a user's customized
+    checkout), a one-time warning names both paths; identical lower copies
+    (the normal reference-checkout case) stay silent."""
+    import warnings
+
+    from gym_flock_tpu.envs import maps
+
+    # fake checkout with a custom (different) map file
+    d = tmp_path / "gym_flock" / "envs" / "spatial" / "maps"
+    d.mkdir(parents=True)
+    np.save(d / "grid_slice10.npy", np.ones((4, 4), dtype=bool))
+
+    monkeypatch.setenv("GYM_FLOCK_TPU_MAPS", "")  # re-enable discovery
+    monkeypatch.setenv("GYM_FLOCK_REFERENCE", str(tmp_path))
+    maps._warned_shadow.clear()
+    with pytest.warns(UserWarning, match="shadows a different"):
+        hit = maps.find_reference_map(10)
+    # the bundled copy still wins; the warning is one-time
+    assert "data" in hit
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        maps.find_reference_map(10)
+
+    # identical lower-priority copies (e.g. /root/reference) never warn
+    monkeypatch.delenv("GYM_FLOCK_REFERENCE")
+    maps._warned_shadow.clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        maps.find_reference_map(10)
