@@ -98,6 +98,10 @@ class CoverageParams:
     # holds — see _hide_mm_active), True/False forces the MXU one-hot
     # matmul / the gather+scatter path
     hide_mm: bool | None = struct.field(pytree_node=False, default=None)
+    # large-T greedy-expert routing: None = auto (engage when the bank
+    # carries the folded cost_rows_pad operand — see _rowmin_active),
+    # True/False forces the fused Pallas row-min / the XLA gather
+    expert_rowmin: bool | None = struct.field(pytree_node=False, default=None)
     # largest motion/action edge length in the bank (set by the factory,
     # host-computed); static so _hide_mm_active can compare it against
     # discover_radius with params as a traced jit argument
@@ -231,6 +235,25 @@ def _hide_mm_active(params) -> bool:
     )
     if params.hide_mm is not None:
         return params.hide_mm and ok
+    return ok
+
+
+def _rowmin_active(params) -> bool:
+    """Static predicate: the fused row-gather packed-min (ops.rowmin) is in
+    use for the greedy expert.  Engages when the factory attached the
+    folded ``cost_rows_pad`` operand (large-T worlds where the one-hot
+    matmul is out of range) and the packed-min contract holds
+    (``cost_pack_ok``).  The TPU-vs-CPU routing happens INSIDE
+    ``packed_greedy_min``'s custom_vmap rule, so this predicate is
+    backend-independent — non-TPU backends take its XLA fallback with
+    identical arithmetic."""
+    ok = (
+        "cost_rows_pad" in params.bank
+        and "cost_pack_ok" in params.bank
+        and not _mm_expert_active(params)
+    )
+    if params.expert_rowmin is not None:
+        return params.expert_rowmin and ok
     return ok
 
 
@@ -612,9 +635,11 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             [jnp.zeros((R,)), (1.0 - visited) * mask]
         )
         cols = [robot_flag, landmark_flag, notvisited]
-        if params.n_node_feat >= 4:
-            cols.append(jnp.zeros((R + T,)))
-        nodes = jnp.stack(cols[: params.n_node_feat], axis=1)  # [max_nodes, nf]
+        # the [max_nodes, nf] nodes buffer is stacked ONCE, after the
+        # hide-nodes block has produced the discovery multiplier and the
+        # frontier column — the r4 formulation stacked first and then
+        # rewrote the whole buffer twice (*= disc_all, .at[:, 3].set),
+        # three 47 MB passes per ExploreFull batched step instead of one
 
         discovered = state.discovered
         out_senders = senders
@@ -634,11 +659,16 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
                 Wr = params.bank[reach_key]  # [G*T, T] bf16 0/1
                 Gn = params.bank["target_mask"].shape[0]
                 occ = jnp.zeros((T,), jnp.bfloat16).at[cur].set(1)
-                occ_seg = (
-                    jnp.where(jnp.arange(Gn)[:, None] == g, occ[None, :], 0)
-                    .reshape((Gn * T,))
-                    .astype(jnp.bfloat16)
-                )
+                if Gn == 1:
+                    # single-graph bank: the segment placement is identity
+                    # (g is always 0) — skip the where/reshape passes
+                    occ_seg = occ
+                else:
+                    occ_seg = (
+                        jnp.where(jnp.arange(Gn)[:, None] == g, occ[None, :], 0)
+                        .reshape((Gn * T,))
+                        .astype(jnp.bfloat16)
+                    )
                 cnt = jnp.dot(occ_seg, Wr, preferred_element_type=jnp.float32)
                 seen_targets = (cnt > 0.0) & mask
             else:
@@ -657,7 +687,7 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             disc_all = jnp.concatenate(
                 [jnp.ones((R,)), discovered]
             )  # robots always discovered
-            nodes = nodes * disc_all[:, None]
+            cols = [c * disc_all for c in cols]
 
             if _hide_mm_active(params):
                 # MXU discovery masks (rationale in _hide_mm_active): the
@@ -670,11 +700,14 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
                 Gn = params.bank["target_mask"].shape[0]
                 n_all = R + T
                 seg = jnp.arange(Gn)[:, None] == g
-                disc_seg = (
-                    jnp.where(seg, disc_all[None, :], 0.0)
-                    .reshape((Gn * n_all,))
-                    .astype(jnp.bfloat16)
-                )
+                if Gn == 1:
+                    disc_seg = disc_all.astype(jnp.bfloat16)
+                else:
+                    disc_seg = (
+                        jnp.where(seg, disc_all[None, :], 0.0)
+                        .reshape((Gn * n_all,))
+                        .astype(jnp.bfloat16)
+                    )
                 d_send_m = jnp.dot(
                     disc_seg,
                     params.bank["hide_send_onehot"],
@@ -685,16 +718,41 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
                     params.bank["hide_recv_onehot"],
                     preferred_element_type=jnp.float32,
                 )
-                # in-edge counts per node (<= N_ACTIONS, bf16-exact)
-                fr = jnp.dot(
-                    ((1.0 - d_send_m) * d_recv_m).astype(jnp.bfloat16),
-                    params.bank["hide_recv_onehot"].T,
-                    preferred_element_type=jnp.float32,
-                )
-                frontier_nodes = (
-                    jnp.sum(jnp.where(seg, fr.reshape((Gn, n_all)), 0.0), axis=0)
-                    > 0.0
-                ).astype(jnp.float32)
+                if "hide_adj" in params.bank:
+                    # node-space frontier (coverage_graph.hide_mm_operands
+                    # "hide_adj"): count UNdiscovered in-neighbors directly
+                    # over the motion adjacency — n_all/Em (~1/4) of the
+                    # edge-space contraction's FLOPs, same boolean
+                    if Gn == 1:
+                        undisc_seg = (1.0 - disc_all).astype(jnp.bfloat16)
+                    else:
+                        undisc_seg = (
+                            jnp.where(seg, (1.0 - disc_all)[None, :], 0.0)
+                            .reshape((Gn * n_all,))
+                            .astype(jnp.bfloat16)
+                        )
+                    cnt_fr = jnp.dot(
+                        undisc_seg,
+                        params.bank["hide_adj"],
+                        preferred_element_type=jnp.float32,
+                    )
+                    frontier_nodes = (
+                        (cnt_fr > 0.0) & (disc_all > 0.0)
+                    ).astype(jnp.float32)
+                else:
+                    # in-edge counts per node (<= N_ACTIONS, bf16-exact) —
+                    # kept for banks saved before hide_adj existed
+                    fr = jnp.dot(
+                        ((1.0 - d_send_m) * d_recv_m).astype(jnp.bfloat16),
+                        params.bank["hide_recv_onehot"].T,
+                        preferred_element_type=jnp.float32,
+                    )
+                    frontier_nodes = (
+                        jnp.sum(
+                            jnp.where(seg, fr.reshape((Gn, n_all)), 0.0), axis=0
+                        )
+                        > 0.0
+                    ).astype(jnp.float32)
                 # Robot rows: motion edges never point at robots, so the
                 # matmul leaves them 0 — but the SELF-PAD action edges
                 # (neighbor_table pads with the node itself) can have an
@@ -732,10 +790,14 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
                 else:
                     seen_edges = seen_edges.at[E - n_tail :].set(1.0)
             if params.n_node_feat >= 4:
-                nodes = nodes.at[:, 3].set(
-                    jnp.maximum(nodes[:, 3], frontier_nodes)
-                )
+                # col 3 pre-multiply was zeros, so max(col3*disc, frontier)
+                # == frontier exactly (the r4 .at[:, 3].set formulation)
+                cols.append(frontier_nodes)
             out_senders = jnp.where(seen_edges > 0, senders, -1)
+
+        if params.n_node_feat >= 4 and len(cols) < 4:
+            cols.append(jnp.zeros((R + T,)))
+        nodes = jnp.stack(cols[: params.n_node_feat], axis=1)  # [max_nodes, nf]
 
         # ---- step counter & done (coverage.py:351-357): the obs carries the
         # pre-increment counter; reset's internal _get_obs_reward call means
@@ -783,12 +845,24 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         mask = params.bank["target_mask"][g]
         cur = state.robot_loc
 
-        # fused row gathers — never stage the [T, T] matrices per env
-        r = _greedy_cost_rows(params, g, cur)  # [R, T]
         blocked = (state.visited >= 1.0) | ~mask
         if params.hide_nodes:
             blocked = blocked | (state.discovered <= 0.0)
-        if _mm_expert_active(params):
+        if _rowmin_active(params):
+            # fused Pallas row-gather + packed min (ops.rowmin): the env
+            # batch flattens through the custom_vmap rule into one kernel
+            # launch; never materializes the [R, T] gathered rows.  m is
+            # bit-identical to the cost_pack branch below (same f32
+            # expression over the same real columns; the operand's padding
+            # columns pack strictly above every real column), so decode is
+            # identical too.
+            from gym_flock_tpu.ops.rowmin import packed_greedy_min
+
+            rowidx = g.astype(jnp.int32) * T + cur
+            m = packed_greedy_min(rowidx, blocked, params.bank["cost_rows_pad"])
+            greedy_loc = (m % 8192.0).astype(jnp.int32)
+            unreachable = (m - greedy_loc) / 8192.0 >= MAX_COST
+        elif _mm_expert_active(params):
             # packed single-value min instead of argmin: TPU variadic
             # (value, index) reduces vectorize poorly.  Costs here are
             # integers <= 1024 (guaranteed by _mm_cost_copy) and T < 4096,
@@ -796,6 +870,8 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             # reproduces argmin exactly — among tied costs the smallest
             # packed value has the smallest index, which is argmin's
             # first-match tie-break.
+            # fused row gathers — never stage the [T, T] matrices per env
+            r = _greedy_cost_rows(params, g, cur)  # [R, T]
             idx = jnp.arange(T, dtype=r.dtype)
             packed = jnp.where(blocked[None, :], MAX_COST, r) * 4096.0 + idx[None, :]
             m = jnp.min(packed, axis=1)  # [R]
@@ -811,16 +887,20 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
             # Rows come from the bf16 cost copy when the bank carries one
             # (values: exact integer hops + 1024 for unreachable — half
             # the HBM bytes of the f32 table; the gather dominates the
-            # controller at large T), the f32 table otherwise.  The unused
-            # _greedy_cost_rows gather above is dead code XLA eliminates.
+            # controller at large T), the f32 table otherwise.
             mm = params.bank.get("graph_cost_mm")
-            rows = mm[g, cur].astype(jnp.float32) if mm is not None else r
+            rows = (
+                mm[g, cur].astype(jnp.float32)
+                if mm is not None
+                else _greedy_cost_rows(params, g, cur)
+            )
             idx = jnp.arange(T, dtype=jnp.float32)
             packed = jnp.where(blocked[None, :], 1024.0, rows) * 8192.0 + idx[None, :]
             m = jnp.min(packed, axis=1)  # [R]
             greedy_loc = (m % 8192.0).astype(jnp.int32)
             unreachable = (m - greedy_loc) / 8192.0 >= MAX_COST
         else:
+            r = _greedy_cost_rows(params, g, cur)  # [R, T]
             r = jnp.where(blocked[None, :], MAX_COST, r)
             greedy_loc = jnp.argmin(r, axis=1)  # [R] target idx
             unreachable = r[jnp.arange(R), greedy_loc] >= MAX_COST
@@ -1138,13 +1218,14 @@ def coverage_factory(variant: str):
             maxd = float(np.max(np.asarray(bank["neighbor_dist"])))
             G_b, Em_b = bank["motion_senders"].shape
             n_all_b = cfg["n_robots"] + bank["target_mask"].shape[1]
-            if "hide_send_onehot" not in bank and (
-                2 * G_b * n_all_b * Em_b * 2 <= 512 * 1024 * 1024
-            ):
+            if (
+                "hide_send_onehot" not in bank or "hide_adj" not in bank
+            ) and (2 * G_b * n_all_b * Em_b * 2 <= 512 * 1024 * 1024):
                 from gym_flock_tpu.envs.coverage_graph import hide_mm_operands
 
                 # in place: default_coverage_bank memoizes the dict, so the
                 # operands are built once per bank, not once per make()
+                # (the hide_adj check upgrades banks cached before it existed)
                 bank.update(hide_mm_operands(bank, cfg["n_robots"]))
             # static discovery-reach table (one one-hot matmul replaces the
             # per-step [R, n_all] pairwise sqrt pass); keyed by radius so a
@@ -1176,6 +1257,27 @@ def coverage_factory(variant: str):
                     del bank[k]
                 bank.update(disc_reach_operand(bank, float(disc_r)))
             cfg.setdefault("max_neighbor_dist", maxd)
+        T_pad = bank["target_mask"].shape[1]
+        G_pad = bank["target_mask"].shape[0]
+        if (
+            "cost_rows_pad" not in bank
+            and "graph_cost_mm" in bank
+            and "cost_pack_ok" in bank
+            and T_pad >= 4096
+            and G_pad * T_pad * ((T_pad + 127) // 128 * 128) * 2
+            <= 512 * 1024 * 1024
+        ):
+            # folded large-T expert operand (ops.rowmin): engages the fused
+            # Pallas row-gather packed min on worlds where the one-hot MXU
+            # route is out of range (measured 4.1x the XLA gather at the
+            # real facility's [B=512, R=100, T=5659] shape).  Smaller
+            # worlds keep their existing mm/gather routes untouched.
+            from gym_flock_tpu.ops.rowmin import pad_cost_rows
+
+            bank["cost_rows_pad"] = jnp.asarray(
+                pad_cost_rows(np.asarray(bank["graph_cost_mm"], np.float32)),
+                jnp.bfloat16,
+            )
         params = CoverageParams(bank=bank, **cfg)
         if params.comm_edges:
             # the comm slots shrink the motion-edge region beyond what

@@ -319,3 +319,76 @@ def test_adjacency_matmul_grad_matches_dense():
             )
         )(x)
         assert float(jnp.max(jnp.abs(got_gx))) == 0.0
+
+
+# ---------------------------------------------------------------- ops.rowmin
+
+
+@pytest.mark.parametrize(
+    "B,R,T,G", [(3, 5, 137, 2), (2, 33, 300, 1), (4, 100, 260, 1)]
+)
+def test_rowmin_kernel_matches_xla_exactly(B, R, T, G):
+    """The fused row-gather packed min (interpret mode) is BIT-identical to
+    the XLA formulation — same f32 expression over the same real columns;
+    operand padding columns pack strictly above every real column.  Covers
+    multi-graph banks (rowidx = g*T+cur), non-16-multiple R (chunk pad),
+    all-blocked envs (unreachable decode), and non-128-multiple T."""
+    from gym_flock_tpu.ops.rowmin import (
+        _rowmin_pallas,
+        _rowmin_xla,
+        pad_cost_rows,
+    )
+
+    rng = np.random.RandomState(7)
+    mm = rng.randint(0, 20, size=(G, T, T)).astype(np.float32)
+    mm[rng.rand(G, T, T) < 0.1] = 1024.0
+    cost_pad = jnp.asarray(pad_cost_rows(mm), jnp.bfloat16)
+    rowidx = jnp.asarray(rng.randint(0, G * T, size=(B, R)), jnp.int32)
+    blocked = jnp.asarray(rng.rand(B, T) < 0.6)
+    blocked = blocked.at[0].set(True)  # one fully-blocked env
+
+    want = jax.vmap(_rowmin_xla, in_axes=(0, 0, None))(rowidx, blocked, cost_pad)
+    got = _rowmin_pallas(rowidx, blocked, cost_pad, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rowmin_controller_route_equivalence():
+    """With a hand-attached cost_rows_pad operand (the factory only builds
+    one at T >= 4096), the controller's rowmin branch must produce the
+    same expert actions as the cost_pack gather branch, single-env and
+    vmapped (the custom_vmap rule routes batched calls)."""
+    import gym_flock_tpu as gft
+    from gym_flock_tpu.envs.coverage import _rowmin_active
+    from gym_flock_tpu.ops.rowmin import pad_cost_rows
+
+    env, params = gft.make("Coverage-v0", n_graphs=2)
+    assert "graph_cost_mm" in params.bank and "cost_pack_ok" in params.bank
+    bank2 = dict(params.bank)
+    bank2["cost_rows_pad"] = jnp.asarray(
+        pad_cost_rows(np.asarray(params.bank["graph_cost_mm"], np.float32)),
+        jnp.bfloat16,
+    )
+    p_row = params.replace(bank=bank2, expert_rowmin=True, expert_mm=False)
+    p_ref = params.replace(expert_rowmin=False, expert_mm=False)
+    assert _rowmin_active(p_row) and not _rowmin_active(p_ref)
+
+    key = jax.random.key(3)
+    # single env
+    s, _ = env.reset_env(key, p_ref)
+    for t in range(8):
+        kt = jax.random.fold_in(key, t)
+        u_ref = env.controller(s, p_ref, key=kt, greedy=True)
+        u_row = env.controller(s.replace(), p_row, key=kt, greedy=True)
+        np.testing.assert_array_equal(np.asarray(u_row), np.asarray(u_ref))
+        s, _, _, _, _ = env.step_env(kt, s, u_ref, p_ref)
+
+    # vmapped batch (exercises the custom_vmap batched rule)
+    keys = jax.random.split(jax.random.key(9), 4)
+    sb, _ = jax.vmap(env.reset_env, in_axes=(0, None))(keys, p_ref)
+    ub_ref = jax.vmap(
+        lambda st, k: env.controller(st, p_ref, key=k, greedy=True)
+    )(sb, keys)
+    ub_row = jax.vmap(
+        lambda st, k: env.controller(st, p_row, key=k, greedy=True)
+    )(sb, keys)
+    np.testing.assert_array_equal(np.asarray(ub_row), np.asarray(ub_ref))
