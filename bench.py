@@ -108,15 +108,41 @@ def emit(metric, value, unit, baseline, **extra):
     )
 
 
+_LAST_TIMES = []
+
+
 def best_of(fn, warm=1, iters=4):
+    """Best-of-N timing; per-iteration times are stashed in _LAST_TIMES so
+    rate_stats() can report median/spread alongside the best (VERDICT r4
+    weak #3: BENCH rows carried a single number on a chip with +-15-20%
+    run-to-run variance)."""
+    global _LAST_TIMES
     for _ in range(warm):
         fn()
-    best = float("inf")
+    times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    _LAST_TIMES = times
+    return min(times)
+
+
+def rate_stats(value):
+    """median/spread fields for a rate metric measured by the immediately
+    preceding best_of (value = scale/best_time; rate_i = scale/t_i)."""
+    import statistics
+
+    ts = sorted(_LAST_TIMES)
+    if not ts or value <= 0:
+        return {}
+    best = ts[0]
+    med_rate = value * best / statistics.median(ts)
+    min_rate = value * best / ts[-1]
+    return {
+        "median": round(med_rate, 1),
+        "spread_pct": round((value - min_rate) / med_rate * 100.0, 1),
+    }
 
 
 def bench_flocking_fused(n_envs=8192, n_steps=64, n_agents=100):
@@ -163,6 +189,49 @@ def bench_flocking_fused(n_envs=8192, n_steps=64, n_agents=100):
     xs = init(jax.random.key(0))
     best = best_of(lambda: float(run(xs)))
     return n_envs * n_steps / best
+
+
+def bench_single_pass(n_envs=8192, n_agents=100, n_steps=64):
+    """Same-invocation roofline denominator (VERDICT r4 weak #3): the
+    STANDALONE obs/expert pairwise pass, chained with a tiny state
+    perturbation so iterations stay dependent (no hoist/CSE), measured on
+    the same chip state as the flagship instead of the hard-coded r1
+    number.  Returns Gpair/s."""
+    from gym_flock_tpu.envs.flocking import flocking_obs_expert_pass
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=n_agents)
+
+    @jax.jit
+    def init(key):
+        keys = jax.random.split(key, n_envs)
+        states, _ = jax.vmap(lambda k: env.reset_env(k, params))(keys)
+        return states.x
+
+    @jax.jit
+    def run(xs):
+        def one(x):
+            def body(x, _):
+                values, network, gx, gy, dvx, dvy = flocking_obs_expert_pass(
+                    x, params
+                )
+                eps = (
+                    jnp.sum(values)
+                    + jnp.sum(network)
+                    + jnp.sum(gx)
+                    + jnp.sum(gy)
+                    + jnp.sum(dvx)
+                    + jnp.sum(dvy)
+                ) * 1e-20
+                return x + eps, eps
+
+            x, es = jax.lax.scan(body, x, None, length=n_steps)
+            return jnp.sum(es) + jnp.sum(x)
+
+        return jnp.sum(jax.vmap(one)(xs))
+
+    xs = init(jax.random.key(1))
+    best = best_of(lambda: float(run(xs)))
+    return n_envs * n_steps * n_agents * n_agents / best / 1e9
 
 
 def bench_coverage(B=8192, T=64):
@@ -379,20 +448,29 @@ def main():
 
     try:
         results["flocking_fused"] = bench_flocking_fused()
+        flag_stats = rate_stats(results["flocking_fused"])
+        # same-invocation denominator (VERDICT r4 weak #3): the standalone
+        # pass re-measured on the same chip state, not the r1-era 47.0
+        try:
+            single_pass = bench_single_pass()
+        except Exception:  # pragma: no cover
+            single_pass = 0.0
+        gpair = results["flocking_fused"] * 100 * 100 / 1e9
         emit(
             "env-steps/s (FlockingRelative, 100 agents, fused expert+step+obs)",
             results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
             # MFU-style utilization: the fused rollout runs ONE pairwise
             # pass per step (the floor — obs and expert share it), so
-            # pair-rate = steps/s * N^2.  The denominator is the ~47 Gpair/s
-            # throughput of the STANDALONE obs/expert pass measured by r1
-            # kernel sweeps — a measured reference point, not a hardware
-            # bound: the cross-step-fused program can legitimately exceed
-            # 1.0 because fusion removes work the standalone pass pays
-            # (ROADMAP #2/#14), hence the explicit name
-            gpair_per_s=round(results["flocking_fused"] * 100 * 100 / 1e9, 1),
-            vs_single_pass_roofline=round(
-                results["flocking_fused"] * 100 * 100 / 1e9 / 47.0, 2
+            # pair-rate = steps/s * N^2.  The denominator is the measured
+            # standalone obs/expert pass — a reference point, not a
+            # hardware bound: the cross-step-fused program can legitimately
+            # exceed 1.0 because fusion removes work the standalone pass
+            # pays (ROADMAP #2/#14), hence the explicit name
+            **flag_stats,
+            gpair_per_s=round(gpair, 1),
+            single_pass_gpair_same_run=round(single_pass, 1),
+            vs_single_pass_roofline=(
+                round(gpair / single_pass, 2) if single_pass else None
             ),
         )
     except Exception as e:  # pragma: no cover
@@ -401,21 +479,22 @@ def main():
     try:
         v = bench_coverage()
         emit("env-steps/s (Coverage-v0, 6 robots, greedy expert)", v,
-             "env-steps/s", BASELINE_COVERAGE)
+             "env-steps/s", BASELINE_COVERAGE, **rate_stats(v))
     except Exception as e:  # pragma: no cover
         print(f"# coverage failed: {e!r}", flush=True)
 
     try:
         v, n_nodes, hbm = bench_explore_full()
         emit("env-steps/s (ExploreFullEnv-v0, 100 robots, greedy expert)", v,
-             "env-steps/s", BASELINE_EXPLOREFULL, world_nodes=n_nodes, **hbm)
+             "env-steps/s", BASELINE_EXPLOREFULL, world_nodes=n_nodes,
+             **rate_stats(v), **hbm)
     except Exception as e:  # pragma: no cover
         print(f"# explore_full failed: {e!r}", flush=True)
 
     try:
         v = bench_sparse_flocking()
         emit("agent-steps/s (FlockingSparse-v0, N=65536, fused expert rollout)",
-             v, "agent-steps/s", BASELINE_AGENT_STEPS)
+             v, "agent-steps/s", BASELINE_AGENT_STEPS, **rate_stats(v))
     except Exception as e:  # pragma: no cover
         print(f"# sparse_flocking failed: {e!r}", flush=True)
 
@@ -430,7 +509,8 @@ def main():
          bench_mapping, BASELINE_MAPPING, "env-steps/s"),
     ]:
         try:
-            emit(metric, fn(), unit, base)
+            v = fn()
+            emit(metric, v, unit, base, **rate_stats(v))
         except Exception as e:  # pragma: no cover
             print(f"# {metric} failed: {e!r}", flush=True)
 
