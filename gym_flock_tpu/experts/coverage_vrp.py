@@ -66,7 +66,8 @@ class CoverageVRPPolicy:
     """
 
     def __init__(self, params: CoverageParams, horizon: int = -1,
-                 mode: str = "or_default", strict: bool = False):
+                 mode: str = "or_default", strict: bool = False,
+                 last_accept: bool = False, rot: int = 0):
         self.params = params
         self.horizon = horizon
         # "or_default" = the reference pipeline (PATH_CHEAPEST_ARC + OR-Tools
@@ -74,6 +75,12 @@ class CoverageVRPPolicy:
         # quality; "cheapest_arc" = construction only
         # (see experts.vrp.solve_vrp_raw)
         self.mode = mode
+        # descent-path perturbation probes (or_default only; see
+        # experts.vrp.solve_vrp_raw) — used to measure the DOWNSTREAM
+        # consequence of the OR-Tools enumeration-order ambiguity by
+        # training on probe labels (VERDICT r4 next #4)
+        self.last_accept = last_accept
+        self.rot = rot
         # strict: reproduce the reference's solution-decode asserts
         # (vrp_solver.py:144-146 — every vehicle's first stop is its own
         # init location; an empty route fails the same assert), raising
@@ -123,7 +130,10 @@ class CoverageVRPPolicy:
             tm, pen, init = create_vrp_problem(
                 graph_cost, visited, discovered, cur, n_targets
             )
-            routes = solve_vrp_raw(tm, pen, init, float(budget), mode=self.mode)
+            routes = solve_vrp_raw(
+                tm, pen, init, float(budget), mode=self.mode,
+                last_accept=self.last_accept, rot=self.rot,
+            )
             if self.strict:
                 for i, route in enumerate(routes):
                     assert route, "First stop is not an initial position"

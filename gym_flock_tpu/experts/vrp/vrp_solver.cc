@@ -306,6 +306,20 @@ void construct_cheapest_arc_exact(const Problem& p,
 // iterator order, which is unobservable from here.  Any consumer needing
 // deterministic labels should rely on mode="cheapest_arc" or accept
 // label-distribution (not label-sequence) equivalence for or_default.
+//
+// MEASURED DOWNSTREAM CONSEQUENCE (r5, benchmarks/train_quality.py
+// bc_vrp -> TRAIN_r05.json): two identical-init EdgeGraphNet policies
+// trained by behavior cloning on the SAME 1,024 greedy-rollout states of
+// real-facility sub-windows (CoverageARL, R=4), labeled once by the
+// canonical or_default descent and once by the last-accept probe
+// (12.6% of per-robot labels differ on that distribution), reach
+// statistically indistinguishable quality: held-out closed-loop reward
+// ratio 0.470 vs 0.485 (|gap| 0.015, within run noise), cross-label
+// accuracies symmetric (each model scores ~0.59-0.62 on BOTH label
+// sets).  The enumeration-order ambiguity is therefore a
+// label-SEQUENCE phenomenon with no measurable effect on the trained
+// policy — the practical cost of the unclosable gap above is ~zero for
+// the imitation-learning purpose the labels serve.
 // ---------------------------------------------------------------------------
 
 struct Descent {

@@ -46,6 +46,8 @@ def vrp_label_states(
     states: dict,
     mode: str = "or_default",
     workers: Optional[int] = None,
+    last_accept: bool = False,
+    rot: int = 0,
 ) -> np.ndarray:
     """VRP expert actions for a flat batch of coverage states.
 
@@ -72,7 +74,10 @@ def vrp_label_states(
     params_host = params.replace(bank=host_bank)
 
     def one(i: int) -> np.ndarray:
-        policy = CoverageVRPPolicy(params_host, horizon=-1, mode=mode)
+        policy = CoverageVRPPolicy(
+            params_host, horizon=-1, mode=mode,
+            last_accept=last_accept, rot=rot,
+        )
         sv = _StateView(
             graph=host["graph"][i],
             robot_loc=host["robot_loc"][i],
