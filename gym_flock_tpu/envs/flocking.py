@@ -85,6 +85,10 @@ class FlockingParams:
     # every step).  Static: only this field (never the resolved value)
     # gates the Python-level branch, so params may be a traced argument.
     verlet_skin: float | None = struct.field(pytree_node=False, default=None)
+    # bit-exact parity mode: obs/expert/reward mirror the reference's
+    # NumPy primitive sequence exactly (0-ULP at x64; see
+    # flocking_features_exact).  Correctness mode, not the perf path.
+    parity_exact: bool = struct.field(pytree_node=False, default=False)
 
     # --- dynamic ---
     comm_radius: float = 0.9
@@ -255,6 +259,129 @@ def turner_controller(
     return controls / params.action_scalar
 
 
+# =============================================================================
+# Bit-exact parity mode (reference op order; VERDICT r4 next #5)
+# =============================================================================
+#
+# The SoA kernels above legitimately reorder float arithmetic (shared
+# reciprocals, XLA reduce trees) — 1e-9-level differences at f64.  The
+# functions below instead mirror the reference's NumPy primitive sequence
+# EXACTLY, so that under x64 the whole trajectory (state, obs, network,
+# reward, expert action) is 0-ULP equal to the reference
+# (flocking_relative.py:91-226).  Two facts pin the required reduction
+# orders (verified empirically in test_flocking_parity, numpy 2.x):
+#   * np.sum over a NON-contiguous axis (axis=1 of C-contiguous [N,N,C],
+#     axis=0 of [N,C]) accumulates SEQUENTIALLY along the reduced axis —
+#     the nditer runs the contiguous axis as the inner vector loop and
+#     adds one slice at a time;
+#   * np.sum over the contiguous inner axis uses 8-way-unrolled pairwise
+#     summation — but the only such reduction here (the degree,
+#     flocking_relative.py:120) sums 0/1 floats, which is order-exact.
+# Select with ``FlockingParams.parity_exact=True`` (static).  This path
+# scans N dependent [N]-adds per reduction — a correctness mode, not the
+# perf path.
+
+
+def _rnd(x: jax.Array) -> jax.Array:
+    """Pin an intermediate against value-changing XLA rewrites (fma
+    contraction of ``a*b + c``; see also :func:`_opaque_div`) so the
+    arithmetic matches NumPy's op-for-op."""
+    return jax.lax.optimization_barrier(x)
+
+
+def _opaque_div(a: jax.Array, n) -> jax.Array:
+    """``a / n`` with the divisor hidden from constant folding.
+
+    XLA's algebraic simplifier rewrites division by a known constant into
+    multiplication by the (rounded!) reciprocal — e.g. ``/ 50`` becomes
+    ``* 0.02`` — which NumPy never does; measured: ~22% of random states
+    got a 1-ULP different instant_cost through that rewrite alone.  A
+    barrier'd divisor stays a real division."""
+    return a / jax.lax.optimization_barrier(jnp.asarray(n, a.dtype))
+
+
+def _seq_sum_cols(a: jax.Array) -> jax.Array:
+    """[N, M] -> [N]: sum over axis 1, accumulating sequentially in j —
+    np.add.reduce's order for a non-inner reduction axis."""
+
+    def body(acc, col):
+        return acc + col, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros_like(a[:, 0]), jnp.swapaxes(a, 0, 1))
+    return acc
+
+
+def _seq_sum_rows(a: jax.Array) -> jax.Array:
+    """[N, C] -> [C]: sum over axis 0, sequential in i (np.add.reduce)."""
+
+    def body(acc, row):
+        return acc + row, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros_like(a[0]), a)
+    return acc
+
+
+def flocking_features_exact(
+    x: jax.Array,
+    comm_radius2,
+    obstacle_mask: jax.Array | None = None,
+):
+    """compute_helpers with the reference's exact op order
+    (flocking_relative.py:111-134): direct divisions (``dx / (r2*r2)``,
+    not reciprocal-multiplies), per-element division for the mean-pooled
+    adjacency, sequential-j neighbor sums."""
+    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask)
+    adj = (r2 < comm_radius2).astype(x.dtype)
+    # degree: 0/1 sums are order-exact; clamp zeros to 1 (:121)
+    deg = jnp.sum(adj, axis=1)
+    deg = jnp.where(deg == 0.0, 1.0, deg)
+    adj_mean = adj / deg[:, None]
+    r4 = r2 * r2
+    chans = (dvx, dx / r4, dx / r2, dvy, dy / r4, dy / r2)
+    state_values = jnp.stack(
+        [_seq_sum_cols(_rnd(c * adj)) for c in chans], axis=1
+    )
+    return state_values, adj, adj_mean, r2
+
+
+def turner_controller_exact(
+    x: jax.Array,
+    params: FlockingParams,
+    centralized: bool | None = None,
+    obstacle_mask: jax.Array | None = None,
+) -> jax.Array:
+    """controller() with the reference's exact op order
+    (flocking_relative.py:194-226): potential_grad as two divisions,
+    sequential-j sums of the stacked potentials."""
+    if centralized is None:
+        centralized = params.centralized
+    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask)
+    r4 = r2 * r2
+    gx = _rnd(-2.0 * (dx / r4)) + _rnd(2.0 * (dx / r2))
+    gx = jnp.where(r2 > params.comm_radius, 0.0, gx)
+    gy = _rnd(-2.0 * (dy / r4)) + _rnd(2.0 * (dy / r2))
+    gy = jnp.where(r2 > params.comm_radius, 0.0, gy)
+    chans = [dvx, dvy, gx, gy]  # p_sum columns 2, 3, 4, 5
+    if not centralized:
+        adj = (r2 < params.comm_radius2).astype(x.dtype)
+        chans = [c * adj for c in chans]
+    s_dvx, s_dvy, s_gx, s_gy = (_seq_sum_cols(_rnd(c)) for c in chans)
+    controls = jnp.stack((-s_gx - s_dvx, -s_dvy - s_gy), axis=1)
+    controls = jnp.clip(controls, -10.0, 10.0)
+    return _opaque_div(controls, params.action_scalar)
+
+
+def _instant_cost_exact(x: jax.Array) -> jax.Array:
+    """instant_cost with np.var's exact order (flocking_relative.py:145-147):
+    sequential axis-0 mean, squared residuals, sequential axis-0 mean."""
+    v = x[:, 2:4]
+    n = v.shape[0]
+    m = _opaque_div(_seq_sum_rows(v), n)
+    d = v - m
+    var = _opaque_div(_seq_sum_rows(_rnd(d * d)), n)
+    return -1.0 * (var[0] + var[1])
+
+
 def flocking_obs_expert_pass(
     x: jax.Array,
     params: FlockingParams,
@@ -337,12 +464,15 @@ def _instant_cost(x: jax.Array) -> jax.Array:
     return -1.0 * jnp.sum(jnp.var(v, axis=0))
 
 
-def _integrate(x: jax.Array, u: jax.Array, dt, mask: jax.Array | None = None) -> jax.Array:
+def _integrate(x: jax.Array, u: jax.Array, dt, mask: jax.Array | None = None,
+               exact: bool = False) -> jax.Array:
     """Euler double-integrator update (reference flocking_relative.py:98-105).
 
     ``mask`` (float [N], 0 = frozen agent) reproduces the leader/obstacle
     variants where masked agents ignore their control input
     (flocking_leader.py:27-31, flocking_obstacle.py:41-47).
+    ``exact``: round every product before it feeds an add (parity mode —
+    blocks XLA's fma contraction, which NumPy never applies).
     """
     ux, uy = u[:, 0], u[:, 1]
     if mask is not None:
@@ -350,10 +480,11 @@ def _integrate(x: jax.Array, u: jax.Array, dt, mask: jax.Array | None = None) ->
         uy_eff = uy * mask
     else:
         ux_eff, uy_eff = ux, uy
-    px = x[:, 0] + x[:, 2] * dt + ux_eff * dt * dt * 0.5
-    py = x[:, 1] + x[:, 3] * dt + uy_eff * dt * dt * 0.5
-    vx = x[:, 2] + ux_eff * dt
-    vy = x[:, 3] + uy_eff * dt
+    rnd = _rnd if exact else (lambda t: t)
+    px = x[:, 0] + rnd(x[:, 2] * dt) + rnd(ux_eff * dt * dt * 0.5)
+    py = x[:, 1] + rnd(x[:, 3] * dt) + rnd(uy_eff * dt * dt * 0.5)
+    vx = x[:, 2] + rnd(ux_eff * dt)
+    vy = x[:, 3] + rnd(uy_eff * dt)
     return jnp.stack((px, py, vx, vy), axis=1)
 
 
@@ -378,7 +509,10 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
     # ------------------------------------------------------------ helpers
 
     def _obs(self, state: FlockingState, params: FlockingParams):
-        values, adj, adj_mean, _ = flocking_features(
+        features = (
+            flocking_features_exact if params.parity_exact else flocking_features
+        )
+        values, adj, adj_mean, _ = features(
             state.x, params.comm_radius2, self._obstacle_mask(params)
         )
         network = adj_mean if params.mean_pooling else adj
@@ -479,17 +613,18 @@ class FlockingRelativeEnv(Env[FlockingParams, FlockingState]):
 
     def step_env(self, key, state: FlockingState, action, params: FlockingParams):
         u = action * self._action_scale(params)
-        x = _integrate(state.x, u, params.dt, self._integration_mask(params))
+        x = _integrate(state.x, u, params.dt, self._integration_mask(params),
+                       exact=params.parity_exact)
         new_state = state.replace(x=x, time=state.time + 1)
         obs = self._obs(new_state, params)
-        reward = _instant_cost(x)
+        cost = _instant_cost_exact if params.parity_exact else _instant_cost
+        reward = cost(x)
         done = new_state.time >= params.max_steps
         return new_state, obs, reward, done, {}
 
     def controller(self, state: FlockingState, params: FlockingParams, centralized=None):
-        return turner_controller(
-            state.x, params, centralized, self._obstacle_mask(params)
-        )
+        ctrl = turner_controller_exact if params.parity_exact else turner_controller
+        return ctrl(state.x, params, centralized, self._obstacle_mask(params))
 
     # ---------------------------------------------------- fused expert rollout
 

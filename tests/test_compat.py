@@ -579,7 +579,7 @@ def test_strict_expert_raises_on_infeasible_solution(monkeypatch):
     u = env.controller(random=False, greedy=False, strict=True)
     assert u.shape == (env.params.n_robots, 1)
 
-    def starved(tm, pen, init, budget, mode="or_default"):
+    def starved(tm, pen, init, budget, mode="or_default", **kw):
         routes = [[int(i)] for i in init]
         routes[-1] = []  # vehicle with no route: reference assert fires
         return routes

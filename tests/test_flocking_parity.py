@@ -223,3 +223,64 @@ def test_leader_reset_obs_is_stale_pre_override():
     # recomputing from the post-override state must differ in the dvx sums
     fresh_values, _ = env._obs(state, params)
     assert not np.allclose(np.asarray(values), np.asarray(fresh_values))
+
+
+def test_numpy_reduction_order_assumptions():
+    """The bit-exact parity mode (flocking_features_exact) encodes NumPy's
+    accumulation orders; pin them so a future NumPy change fails loudly
+    here instead of as an inscrutable 1-ULP parity break."""
+    rng = np.random.RandomState(0)
+    a3 = rng.randn(60, 60, 6) * np.exp(rng.randn(60, 60, 6) * 4)
+    seq = np.zeros((60, 6))
+    for j in range(60):
+        seq = seq + a3[:, j, :]
+    assert np.array_equal(np.sum(a3, axis=1), seq)
+
+    a2 = rng.randn(60, 2) * np.exp(rng.randn(60, 2) * 3)
+    s = np.zeros(2)
+    for i in range(60):
+        s = s + a2[i]
+    assert np.array_equal(np.sum(a2, axis=0), s)
+    m = s / 60
+    d = a2 - m
+    v = np.zeros(2)
+    for i in range(60):
+        v = v + d[i] * d[i]
+    assert np.array_equal(np.var(a2, axis=0), v / 60)
+
+
+@pytest.mark.parametrize("centralized", [True, False])
+def test_relative_bit_exact_parity_mode(centralized):
+    """VERDICT r4 next #5: with ``parity_exact=True`` the full closed loop —
+    expert action, integration, obs values, network, reward — is EQUAL
+    (0 ULP at f64) to the live reference over a 50-step expert-driven
+    trajectory.  Any single-ULP divergence compounds through the feedback
+    loop and fails the equality within a few steps."""
+    rng = np.random.RandomState(7)
+    n = 50
+    x0 = _random_x0(rng, n, spread=1.5)
+
+    ref = make_reference_env("FlockingRelative-v0")
+    ref.n_agents = n
+    ref.centralized = centralized
+    _inject(ref, x0)
+
+    env, params = gft.make("FlockingRelative-v0")
+    params = params.replace(
+        n_agents=n, parity_exact=True, centralized=centralized
+    )
+    state = env.init_state(jnp.asarray(x0), params)
+    step = jax.jit(env.step_env)
+    ctrl = jax.jit(env.controller)
+    key = jax.random.key(0)
+
+    for t in range(50):
+        u_ref = ref.controller()
+        u = ctrl(state, params)
+        np.testing.assert_array_equal(np.asarray(u), u_ref, err_msg=f"u@{t}")
+        (ref_obs, ref_net), ref_rew, _, _ = ref.step(np.asarray(u).copy())
+        state, (obs, net), rew, done, _ = step(key, state, jnp.asarray(u), params)
+        np.testing.assert_array_equal(np.asarray(state.x), ref.x, err_msg=f"x@{t}")
+        np.testing.assert_array_equal(np.asarray(obs), ref_obs, err_msg=f"obs@{t}")
+        np.testing.assert_array_equal(np.asarray(net), ref_net, err_msg=f"net@{t}")
+        assert float(rew) == ref_rew, f"rew@{t}: {float(rew)} vs {ref_rew}"
