@@ -501,6 +501,14 @@ def main():
         except Exception:  # pragma: no cover
             single_pass = 0.0
         gpair = results["flocking_fused"] * 100 * 100 / 1e9
+        results["flagship_extra"] = {
+            **flag_stats,
+            "gpair_per_s": round(gpair, 1),
+            "single_pass_gpair_same_run": round(single_pass, 1),
+            "vs_single_pass_roofline": (
+                round(gpair / single_pass, 2) if single_pass else None
+            ),
+        }
         emit(
             "env-steps/s (FlockingRelative, 100 agents, fused expert+step+obs)",
             results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
@@ -609,14 +617,12 @@ def main():
         print(f"# tpu_smoke failed: {e!r}", flush=True)
 
     # repeat the flagship as the FINAL line for last-line parsers
+    # (identical fields to the first emit — same same-run denominator)
     if "flocking_fused" in results:
         emit(
             "env-steps/s (FlockingRelative, 100 agents, fused expert+step+obs)",
             results["flocking_fused"], "env-steps/s", BASELINE_FLOCKING,
-            gpair_per_s=round(results["flocking_fused"] * 100 * 100 / 1e9, 1),
-            vs_single_pass_roofline=round(
-                results["flocking_fused"] * 100 * 100 / 1e9 / 47.0, 2
-            ),
+            **results.get("flagship_extra", {}),
         )
 
 
