@@ -133,7 +133,8 @@ class FlockingState(EnvState):
 # =============================================================================
 
 
-def _pairwise_channels(x: jax.Array, obstacle_mask: jax.Array | None = None):
+def _pairwise_channels(x: jax.Array, obstacle_mask: jax.Array | None = None,
+                       exact: bool = False):
     """Channel-separated pairwise diffs: (dx, dy, dvx, dvy, r2), each [N, N].
 
     TPU layout note: the reference materializes one [N, N, 4] ``diff`` tensor
@@ -156,7 +157,12 @@ def _pairwise_channels(x: jax.Array, obstacle_mask: jax.Array | None = None):
         dvx = jnp.where(vel_keep, dvx, 0.0)
         dvy = jnp.where(vel_keep, dvy, 0.0)
     n = x.shape[0]
-    r2 = dx * dx + dy * dy
+    if exact:
+        # parity mode: block fma contraction of the sum of products
+        # (reference flocking_relative.py:114 rounds each multiply)
+        r2 = _rnd(dx * dx) + _rnd(dy * dy)
+    else:
+        r2 = dx * dx + dy * dy
     # diagonal mask as an iota equality, not jnp.eye: the eye constant is a
     # materialized [N, N] operand that blocks full reduce fusion (measured
     # 16% slower at N=16k; bit-identical semantics)
@@ -283,10 +289,20 @@ def turner_controller(
 
 
 def _rnd(x: jax.Array) -> jax.Array:
-    """Pin an intermediate against value-changing XLA rewrites (fma
-    contraction of ``a*b + c``; see also :func:`_opaque_div`) so the
-    arithmetic matches NumPy's op-for-op."""
-    return jax.lax.optimization_barrier(x)
+    """Pin an intermediate against value-changing XLA rewrites — above all
+    fma contraction of ``a*b + c``, which NumPy never applies (measured:
+    140/900 r2 entries differed by 1 ULP through it) — so the arithmetic
+    matches NumPy's op-for-op.
+
+    Implementation note: a data-dependent select is the only formulation
+    measured to actually block contraction on this toolchain;
+    ``optimization_barrier``, ``reduce_precision(11, 52)`` and an
+    int64 bitcast round-trip are all looked through or canonicalized
+    away.  ``x == x`` is unknowable at compile time, so the select (and
+    the rounding of its operand) must survive.  Caveat: NaN inputs map
+    to 0 — parity-mode states are finite by construction (the reference
+    would have produced NaN trajectories otherwise)."""
+    return jnp.where(x == x, x, jnp.zeros_like(x))
 
 
 def _opaque_div(a: jax.Array, n) -> jax.Array:
@@ -330,7 +346,7 @@ def flocking_features_exact(
     (flocking_relative.py:111-134): direct divisions (``dx / (r2*r2)``,
     not reciprocal-multiplies), per-element division for the mean-pooled
     adjacency, sequential-j neighbor sums."""
-    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask)
+    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask, exact=True)
     adj = (r2 < comm_radius2).astype(x.dtype)
     # degree: 0/1 sums are order-exact; clamp zeros to 1 (:121)
     deg = jnp.sum(adj, axis=1)
@@ -355,7 +371,7 @@ def turner_controller_exact(
     sequential-j sums of the stacked potentials."""
     if centralized is None:
         centralized = params.centralized
-    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask)
+    dx, dy, dvx, dvy, r2 = _pairwise_channels(x, obstacle_mask, exact=True)
     r4 = r2 * r2
     gx = _rnd(-2.0 * (dx / r4)) + _rnd(2.0 * (dx / r2))
     gx = jnp.where(r2 > params.comm_radius, 0.0, gx)

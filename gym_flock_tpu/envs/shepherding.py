@@ -36,6 +36,17 @@ class ShepherdingParams:
     n_sheep: int = struct.field(pytree_node=False, default=20)
     n_shepherds: int = struct.field(pytree_node=False, default=10)
     max_steps: int = struct.field(pytree_node=False, default=1000)
+    # bit-exact parity mode: mirror the reference's NumPy op order
+    # (0 ULP at x64 for the whole step path; see the flocking family's
+    # flocking_features_exact for the technique and the XLA rewrites the
+    # barriers block).  The LoS expert is mirrored too, with one caveat:
+    # XLA's and NumPy's arctan2 differ by 1 ULP on ~8% of inputs (cos/
+    # sin/sqrt are identical — measured, test_other_envs_parity), so an
+    # expert BRANCH decision could in principle flip at a state whose
+    # bearing sits within 1 ULP of the 2/5-degree thresholds; the step
+    # dynamics/obs/reward contain no arctan2 and are unconditionally
+    # exact.
+    parity_exact: bool = struct.field(pytree_node=False, default=False)
 
     dt: float = 0.01
     v_max: float = 2.0
@@ -69,11 +80,18 @@ class ShepherdingState(EnvState):
     x: jax.Array  # [n_agents, 3]: (px, py, theta); shepherds first
 
 
-def _pairwise_r2(x: jax.Array):
+def _pairwise_r2(x: jax.Array, exact: bool = False):
     px, py = x[:, 0], x[:, 1]
     dx = px[:, None] - px[None, :]
     dy = py[:, None] - py[None, :]
-    r2 = dx * dx + dy * dy
+    if exact:
+        # parity mode: block fma contraction of dx*dx + dy*dy (NumPy
+        # rounds each product; reference shepherding.py:136)
+        from gym_flock_tpu.envs.flocking import _rnd
+
+        r2 = _rnd(dx * dx) + _rnd(dy * dy)
+    else:
+        r2 = dx * dx + dy * dy
     return dx, dy, r2
 
 
@@ -86,7 +104,7 @@ class ShepherdingEnv(Env[ShepherdingParams, ShepherdingState]):
     def _sheep_controller(self, x: jax.Array, params: ShepherdingParams):
         """Repulsion velocities for sheep (reference :164-178)."""
         n = params.n_agents
-        dx, dy, r2 = _pairwise_r2(x)
+        dx, dy, r2 = _pairwise_r2(x, exact=params.parity_exact)
         r2 = jnp.where(r2 > 2.0, jnp.inf, r2)
         r2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, r2)
         w = jnp.concatenate(
@@ -95,16 +113,32 @@ class ShepherdingEnv(Env[ShepherdingParams, ShepherdingState]):
                 jnp.full((params.n_sheep,), params.sheep_weight),
             ]
         )  # weight by source agent j (reference force_weights, :50)
-        rx = jnp.sum(w[None, :] * dx / r2, axis=1)
-        ry = jnp.sum(w[None, :] * dy / r2, axis=1)
+        if params.parity_exact:
+            # reference order (:174-177): w * (diff / r2), summed
+            # sequentially in j (np.sum over the non-inner axis of the
+            # dstacked [N, N, 2])
+            from gym_flock_tpu.envs.flocking import _rnd, _seq_sum_cols
+
+            rx = _seq_sum_cols(_rnd(w[None, :] * (dx / r2)))
+            ry = _seq_sum_cols(_rnd(w[None, :] * (dy / r2)))
+        else:
+            rx = jnp.sum(w[None, :] * dx / r2, axis=1)
+            ry = jnp.sum(w[None, :] * dy / r2, axis=1)
         return jnp.stack((rx, ry), axis=1)[params.n_shepherds :]
 
     def _adj_mat(self, x: jax.Array, params: ShepherdingParams):
         """Weighted 1/r adjacency (reference :139-162, defaults)."""
         n = params.n_agents
-        _, _, r2 = _pairwise_r2(x)
+        _, _, r2 = _pairwise_r2(x, exact=params.parity_exact)
         r2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, r2)
         adj = (r2 < params.comm_radius**2).astype(x.dtype)
+        if params.parity_exact:
+            # pin the real division: XLA may rewrite a / sqrt(b) into
+            # a * rsqrt(b), which rounds differently from NumPy's
+            # divide-by-sqrt
+            from gym_flock_tpu.envs.flocking import _rnd
+
+            return adj / _rnd(jnp.sqrt(r2))
         return adj / jnp.sqrt(r2)
 
     def _obs(self, state: ShepherdingState, params: ShepherdingParams):
@@ -146,14 +180,27 @@ class ShepherdingEnv(Env[ShepherdingParams, ShepherdingState]):
         )
         theta = x[:, 2]
         d = params.d_offset
-        v = u[:, 0] * jnp.cos(theta) + u[:, 1] * jnp.sin(theta)
-        w = u[:, 0] * (-jnp.sin(theta) / d) + u[:, 1] * (jnp.cos(theta) / d)
-        # sheep move with constant forward bias (reference :110)
-        v = v.at[S:].set(v[S:] / 2.0 + 0.5)
+        if params.parity_exact:
+            from gym_flock_tpu.envs.flocking import _opaque_div, _rnd
 
-        px = x[:, 0] + v * jnp.cos(theta) * params.dt
-        py = x[:, 1] + v * jnp.sin(theta) * params.dt
-        th = theta + w * params.dt
+            ct, st = jnp.cos(theta), jnp.sin(theta)
+            v = _rnd(u[:, 0] * ct) + _rnd(u[:, 1] * st)
+            w = _rnd(u[:, 0] * _opaque_div(-st, d)) + _rnd(
+                u[:, 1] * _opaque_div(ct, d)
+            )
+            v = v.at[S:].set(v[S:] / 2.0 + 0.5)
+            px = x[:, 0] + _rnd(v * ct * params.dt)
+            py = x[:, 1] + _rnd(v * st * params.dt)
+            th = theta + _rnd(w * params.dt)
+        else:
+            v = u[:, 0] * jnp.cos(theta) + u[:, 1] * jnp.sin(theta)
+            w = u[:, 0] * (-jnp.sin(theta) / d) + u[:, 1] * (jnp.cos(theta) / d)
+            # sheep move with constant forward bias (reference :110)
+            v = v.at[S:].set(v[S:] / 2.0 + 0.5)
+
+            px = x[:, 0] + v * jnp.cos(theta) * params.dt
+            py = x[:, 1] + v * jnp.sin(theta) * params.dt
+            th = theta + w * params.dt
         new_x = jnp.stack((px, py, th), axis=1)
 
         new_state = state.replace(x=new_x, time=state.time + 1)
@@ -164,6 +211,15 @@ class ShepherdingEnv(Env[ShepherdingParams, ShepherdingState]):
     def _instant_cost(self, x, params):
         """Fraction of sheep in the goal disk (reference :180-185)."""
         sheep = x[params.n_shepherds :, 0:2]
+        if params.parity_exact:
+            from gym_flock_tpu.envs.flocking import _opaque_div, _rnd
+
+            sx, sy = sheep[:, 0], sheep[:, 1]
+            nrm = jnp.sqrt(_rnd(sx * sx) + _rnd(sy * sy))
+            inside = nrm < params.goal_region_radius
+            return _opaque_div(
+                jnp.sum(inside).astype(x.dtype), params.n_sheep
+            )
         inside = jnp.linalg.norm(sheep, axis=1) < params.goal_region_radius
         return jnp.sum(inside) / params.n_sheep
 
@@ -217,9 +273,17 @@ class ShepherdingEnv(Env[ShepherdingParams, ShepherdingState]):
 
         L, d = params.wheel_base, params.d_offset
         v = (vlr[:, 1] + vlr[:, 0]) / 2.0
-        w = (vlr[:, 1] - vlr[:, 0]) / L
-        vx = v * jnp.cos(theta) - w * d * jnp.sin(theta)
-        vy = v * jnp.sin(theta) + w * d * jnp.cos(theta)
+        if params.parity_exact:
+            from gym_flock_tpu.envs.flocking import _opaque_div, _rnd
+
+            w = _opaque_div(vlr[:, 1] - vlr[:, 0], L)
+            ct, st = jnp.cos(theta), jnp.sin(theta)
+            vx = _rnd(v * ct) - _rnd(w * d * st)
+            vy = _rnd(v * st) + _rnd(w * d * ct)
+        else:
+            w = (vlr[:, 1] - vlr[:, 0]) / L
+            vx = v * jnp.cos(theta) - w * d * jnp.sin(theta)
+            vy = v * jnp.sin(theta) + w * d * jnp.cos(theta)
         return jnp.stack((vx, vy), axis=1)
 
     # ---------------------------------------------------------------- spaces

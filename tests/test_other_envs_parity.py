@@ -187,3 +187,49 @@ def test_lqr_cached_gain_matches_recompute():
     p_nok = params.replace(system=sys.replace(k_gain=None))
     u_fallback = env.controller(state, p_nok)
     np.testing.assert_array_equal(np.asarray(u_cached), np.asarray(u_fallback))
+
+
+def test_transcendental_bit_equality_assumptions():
+    """The shepherding bit-exact mode rests on XLA CPU's f64 cos/sin/sqrt
+    matching NumPy's bit-for-bit (measured over 2M samples in r5); pin it
+    so a toolchain change fails loudly here.  arctan2 is NOT pinned — it
+    differs by 1 ULP on ~8% of inputs, which is exactly the documented
+    expert-branch caveat in ShepherdingParams.parity_exact."""
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-50, 50, size=200_000)
+    for nf, jf in ((np.cos, jnp.cos), (np.sin, jnp.sin)):
+        np.testing.assert_array_equal(nf(x), np.asarray(jax.jit(jf)(x)))
+    xa = np.abs(x)
+    np.testing.assert_array_equal(np.sqrt(xa), np.asarray(jax.jit(jnp.sqrt)(xa)))
+
+
+def test_shepherding_bit_exact_parity_mode():
+    """VERDICT r4 next #5 (second family): with parity_exact=True the full
+    closed loop — LoS expert action, unicycle step, obs, weighted
+    adjacency, reward — EQUALS the live reference bit-for-bit over a
+    50-step expert-driven trajectory (ULP divergence compounds through
+    the feedback loop and would fail within a few steps)."""
+    ref = make_reference_env("Shepherding-v0")
+    ref.seed(5)
+    ref.reset()
+    rng = np.random.RandomState(6)
+    ref.x[:, 2] = rng.uniform(-np.pi, np.pi, size=(30,))
+    x0 = ref.x.copy()
+
+    env, params = gft.make("Shepherding-v0")
+    params = params.replace(parity_exact=True)
+    state = env.init_state(jnp.asarray(x0), params)
+    step = jax.jit(env.step_env)
+    ctrl = jax.jit(env.controller)
+    key = jax.random.key(0)
+
+    for t in range(50):
+        ref_u = ref.controller()
+        u = ctrl(state, params)
+        np.testing.assert_array_equal(np.asarray(u), ref_u, err_msg=f"u@{t}")
+        (ref_obs, ref_adj), ref_r, _, _ = ref.step(np.asarray(u).copy())
+        state, (obs, adj), r, d, _ = step(key, state, jnp.asarray(u), params)
+        np.testing.assert_array_equal(np.asarray(state.x), ref.x, err_msg=f"x@{t}")
+        np.testing.assert_array_equal(np.asarray(obs), ref_obs, err_msg=f"obs@{t}")
+        np.testing.assert_array_equal(np.asarray(adj), ref_adj, err_msg=f"adj@{t}")
+        assert float(r) == ref_r, f"rew@{t}: {float(r)} vs {ref_r}"
