@@ -427,8 +427,17 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
 
         cur = state.robot_loc  # [R]
         # fused gather: [R] rows of this graph's neighbor table (materializing
-        # bank[g] would stage the whole [T, A] table per env instance)
-        chosen = params.bank["neighbor_table"][g, cur, action]  # [R]
+        # bank[g] would stage the whole [T, A] table per env instance).
+        # Row gather + in-register action select rather than a 3-index
+        # element gather: when the greedy controller ran in the same program
+        # it gathered the IDENTICAL [R, A] rows (coverage.py:868), so XLA
+        # CSEs the two — [B, R]-element gathers cost ~10 ns/element on TPU
+        # and this removes one of them from the expert rollout
+        nbr_rows = params.bank["neighbor_table"][g, cur]  # [R, A]
+        a_iota = jnp.arange(params.n_actions, dtype=jnp.int32)
+        chosen = jnp.sum(
+            jnp.where(a_iota[None, :] == action[:, None], nbr_rows, 0), axis=1
+        )  # [R] — exactly nbr_rows[r, action[r]] (one selected term per row)
 
         next_locs = _resolve_conflicts(cur, chosen, params.collision_checks)
 
