@@ -316,6 +316,35 @@ def _opaque_div(a: jax.Array, n) -> jax.Array:
     return a / jax.lax.optimization_barrier(jnp.asarray(n, a.dtype))
 
 
+def _np_pairwise_sum(v: jax.Array):
+    """Sum of a 1-D vector in NumPy's exact accumulation order for a
+    CONTIGUOUS inner-axis reduce: the 8-way-unrolled pairwise algorithm
+    (numpy pairwise_sum, loops.c.src — stable across NumPy releases and
+    pinned empirically by test_flocking_parity).  Static-shape Python
+    unroll: ~n scalar adds in the graph, a parity-mode cost only."""
+    n = v.shape[0]
+    if n < 8:
+        s = v[0]
+        for i in range(1, n):
+            s = s + v[i]
+        return s
+    if n <= 128:
+        r = [v[i] for i in range(8)]
+        i = 8
+        while i + 8 <= n:
+            for j in range(8):
+                r[j] = r[j] + v[i + j]
+            i += 8
+        s = ((r[0] + r[1]) + (r[2] + r[3])) + ((r[4] + r[5]) + (r[6] + r[7]))
+        while i < n:
+            s = s + v[i]
+            i += 1
+        return s
+    ns = n // 2
+    ns -= ns % 8
+    return _np_pairwise_sum(v[:ns]) + _np_pairwise_sum(v[ns:])
+
+
 def _seq_sum_cols(a: jax.Array) -> jax.Array:
     """[N, M] -> [N]: sum over axis 1, accumulating sequentially in j —
     np.add.reduce's order for a non-inner reduction axis."""

@@ -84,6 +84,15 @@ class MappingParams:
     observe_self_vel: bool = struct.field(pytree_node=False, default=False)
     observe_neighbors: bool = struct.field(pytree_node=False, default=True)
     discrete_actions: bool = struct.field(pytree_node=False, default=False)
+    # bit-exact parity mode (see flocking_features_exact for the
+    # technique): integration, pairwise r2, the traveled-distance norm
+    # sum (NumPy's 8-way-unrolled pairwise order), and the greedy action
+    # mirror the reference old/mapping.py op-for-op at x64.  Selection
+    # (k-nearest) matches the reference's unstable argsort on all
+    # UNTIED distances — an exact distance tie is the one case where the
+    # reference's quicksort order is implementation-defined and therefore
+    # unreproducible in principle.
+    parity_exact: bool = struct.field(pytree_node=False, default=False)
 
     # --- dynamic ---
     dt: float = 0.1
@@ -130,7 +139,12 @@ def _mapping_helpers(x: jax.Array, unobserved: jax.Array, params: MappingParams)
 
     # --- neighbors -------------------------------------------------------
     diff = x[:, None, :] - x[None, :, :]  # [N, N, 4]
-    r2 = diff[:, :, 0] ** 2 + diff[:, :, 1] ** 2
+    if params.parity_exact:
+        from gym_flock_tpu.envs.flocking import _rnd
+
+        r2 = _rnd(diff[:, :, 0] ** 2) + _rnd(diff[:, :, 1] ** 2)
+    else:
+        r2 = diff[:, :, 0] ** 2 + diff[:, :, 1] ** 2
     r2 = r2 + jnp.where(jnp.eye(n, dtype=bool), jnp.inf, 0.0)
 
     _, nearest = jax.lax.top_k(-r2, ka)  # [N, ka], ascending distance
@@ -165,10 +179,17 @@ def _mapping_helpers(x: jax.Array, unobserved: jax.Array, params: MappingParams)
 
     def _masked_r2(excl_idx):
         # [N, T] squared distances; inf where observed or already chosen.
-        r2_row = (
-            (x[:, None, 0] - tgt[None, :, 0]) ** 2
-            + (x[:, None, 1] - tgt[None, :, 1]) ** 2
-        )
+        if params.parity_exact:
+            from gym_flock_tpu.envs.flocking import _rnd
+
+            r2_row = _rnd((x[:, None, 0] - tgt[None, :, 0]) ** 2) + _rnd(
+                (x[:, None, 1] - tgt[None, :, 1]) ** 2
+            )
+        else:
+            r2_row = (
+                (x[:, None, 0] - tgt[None, :, 0]) ** 2
+                + (x[:, None, 1] - tgt[None, :, 1]) ** 2
+            )
         m = jnp.where(unobserved[None, :], r2_row, jnp.inf)
         for e in excl_idx:
             m = jnp.where(iota_t[None, :] == e[:, None], jnp.inf, m)
@@ -266,25 +287,50 @@ class MappingEnv(Env[MappingParams, MappingState]):
     def step_env(self, key, state: MappingState, action, params: MappingParams):
         u = self._control(state, action, params)
         x = state.x
+        if params.parity_exact:
+            from gym_flock_tpu.envs.flocking import _rnd
+        else:
+            _rnd = lambda t: t  # noqa: E731 - identity off the parity path
         if params.double_integrator:
             # Euler + velocity clipping (old/mapping.py:149-158)
-            px = x[:, 0] + x[:, 2] * params.dt + u[:, 0] * params.dt**2 * 0.5
-            py = x[:, 1] + x[:, 3] * params.dt + u[:, 1] * params.dt**2 * 0.5
-            vx = jnp.clip(x[:, 2] + u[:, 0] * params.dt, -params.v_max, params.v_max)
-            vy = jnp.clip(x[:, 3] + u[:, 1] * params.dt, -params.v_max, params.v_max)
+            px = (
+                x[:, 0]
+                + _rnd(x[:, 2] * params.dt)
+                + _rnd(u[:, 0] * params.dt * params.dt * 0.5)
+            )
+            py = (
+                x[:, 1]
+                + _rnd(x[:, 3] * params.dt)
+                + _rnd(u[:, 1] * params.dt * params.dt * 0.5)
+            )
+            vx = jnp.clip(
+                x[:, 2] + _rnd(u[:, 0] * params.dt), -params.v_max, params.v_max
+            )
+            vy = jnp.clip(
+                x[:, 3] + _rnd(u[:, 1] * params.dt), -params.v_max, params.v_max
+            )
         else:
-            px = x[:, 0] + u[:, 0] * params.dt
-            py = x[:, 1] + u[:, 1] * params.dt
+            px = x[:, 0] + _rnd(u[:, 0] * params.dt)
+            py = x[:, 1] + _rnd(u[:, 1] * params.dt)
             vx, vy = x[:, 2], x[:, 3]
         new_x = jnp.stack((px, py, vx, vy), axis=1)
-        dist = jnp.sqrt((px - x[:, 0]) ** 2 + (py - x[:, 1]) ** 2)  # [N]
+        dist = jnp.sqrt(_rnd((px - x[:, 0]) ** 2) + _rnd((py - x[:, 1]) ** 2))  # [N]
 
         values, network, obs_target, newly, credit = _mapping_helpers(
             new_x, state.unobserved, params
         )
         new_unobserved = state.unobserved & ~newly
         if params.per_agent_reward:
-            reward = credit - params.dist_penalty * dist  # [N]
+            reward = credit - _rnd(params.dist_penalty * dist)  # [N]
+        elif params.parity_exact:
+            # reference order (old/mapping.py:161-165): integer observed
+            # count, and the traveled-distance sum in NumPy's contiguous
+            # 1-D pairwise accumulation order
+            from gym_flock_tpu.envs.flocking import _np_pairwise_sum
+
+            reward = _rnd(
+                params.reward_scale * jnp.sum(newly)
+            ) - _rnd(params.dist_penalty * _np_pairwise_sum(dist))
         else:
             reward = params.reward_scale * jnp.sum(newly) - params.dist_penalty * jnp.sum(dist)
         # all targets observed OR the registered step limit (the reference
@@ -302,6 +348,12 @@ class MappingEnv(Env[MappingParams, MappingState]):
     def controller(self, state: MappingState, params: MappingParams):
         """Greedy: fly at the nearest unobserved target, as cached by the
         last observation pass (old/mapping.py:217, 224-232)."""
+        if params.parity_exact:
+            from gym_flock_tpu.envs.flocking import _opaque_div
+
+            return _opaque_div(
+                -1.0 * state.last_obs_target[:, 0:2], params.action_scalar
+            )
         return -1.0 * state.last_obs_target[:, 0:2] / params.action_scalar
 
     def observation_space(self, params: MappingParams):
