@@ -130,10 +130,17 @@ def best_of(fn, warm=1, iters=4):
 
 def rate_stats(value):
     """median/spread fields for a rate metric measured by the immediately
-    preceding best_of (value = scale/best_time; rate_i = scale/t_i)."""
+    preceding best_of (value = scale/best_time; rate_i = scale/t_i).
+
+    CONSUME-ONCE: the stashed times are cleared on read, so a call-order
+    mistake (another best_of in between, or a double read) produces
+    MISSING fields in the emitted row — visible — rather than silently
+    attributing one measurement's spread to another metric."""
     import statistics
 
+    global _LAST_TIMES
     ts = sorted(_LAST_TIMES)
+    _LAST_TIMES = []
     if not ts or value <= 0:
         return {}
     best = ts[0]

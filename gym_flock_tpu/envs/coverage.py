@@ -435,9 +435,13 @@ class CoverageEnv(Env[CoverageParams, CoverageState]):
         # and this removes one of them from the expert rollout
         nbr_rows = params.bank["neighbor_table"][g, cur]  # [R, A]
         a_iota = jnp.arange(params.n_actions, dtype=jnp.int32)
+        # clip keeps the old gather's clamp semantics for out-of-range
+        # actions (a no-match select would silently send the robot to
+        # node 0 instead of a neighbor of its own node)
+        a_sel = jnp.clip(action, 0, params.n_actions - 1)
         chosen = jnp.sum(
-            jnp.where(a_iota[None, :] == action[:, None], nbr_rows, 0), axis=1
-        )  # [R] — exactly nbr_rows[r, action[r]] (one selected term per row)
+            jnp.where(a_iota[None, :] == a_sel[:, None], nbr_rows, 0), axis=1
+        )  # [R] — exactly nbr_rows[r, a_sel[r]] (one selected term per row)
 
         next_locs = _resolve_conflicts(cur, chosen, params.collision_checks)
 
@@ -1227,15 +1231,20 @@ def coverage_factory(variant: str):
             maxd = float(np.max(np.asarray(bank["neighbor_dist"])))
             G_b, Em_b = bank["motion_senders"].shape
             n_all_b = cfg["n_robots"] + bank["target_mask"].shape[1]
-            if (
-                "hide_send_onehot" not in bank or "hide_adj" not in bank
-            ) and (2 * G_b * n_all_b * Em_b * 2 <= 512 * 1024 * 1024):
+            _hide_keys = ("hide_send_onehot", "hide_recv_onehot", "hide_adj")
+            _missing = [k for k in _hide_keys if k not in bank]
+            if _missing and (
+                2 * G_b * n_all_b * Em_b * 2 <= 512 * 1024 * 1024
+            ):
                 from gym_flock_tpu.envs.coverage_graph import hide_mm_operands
 
                 # in place: default_coverage_bank memoizes the dict, so the
-                # operands are built once per bank, not once per make()
-                # (the hide_adj check upgrades banks cached before it existed)
-                bank.update(hide_mm_operands(bank, cfg["n_robots"]))
+                # operands are built once per bank, not once per make();
+                # only the MISSING keys are built (a pre-hide_adj cached
+                # bank upgrade must not rebuild the big edge one-hots)
+                bank.update(
+                    hide_mm_operands(bank, cfg["n_robots"], want=_missing)
+                )
             # static discovery-reach table (one one-hot matmul replaces the
             # per-step [R, n_all] pairwise sqrt pass); keyed by radius so a
             # post-factory discover_radius override falls back cleanly
@@ -1256,10 +1265,10 @@ def coverage_factory(variant: str):
                 # cap device residency (ADVICE r4 #3): the memoized bank
                 # would otherwise accumulate one [G*T,T] bf16 table per
                 # distinct radius for the process lifetime.  Keep at most
-                # _MAX_REACH_TABLES; evict oldest-inserted first.  Eviction
-                # only affects a RE-trace of an old env (its key lookup
-                # misses -> the exact pairwise fallback path), never an
-                # already-compiled program (which holds the array itself).
+                # _MAX_REACH_TABLES; evict oldest-inserted first.  Safe:
+                # every live env's params hold their OWN shallow bank dict
+                # (below), so eviction here only shrinks the shared cache —
+                # it can never change an existing env's routing.
                 _MAX_REACH_TABLES = 4
                 have = [k for k in bank if k.startswith("disc_reach_r")]
                 for k in have[: max(0, len(have) - (_MAX_REACH_TABLES - 1))]:
@@ -1287,7 +1296,13 @@ def coverage_factory(variant: str):
                 pad_cost_rows(np.asarray(bank["graph_cost_mm"], np.float32)),
                 jnp.bfloat16,
             )
-        params = CoverageParams(bank=bank, **cfg)
+        # params get their OWN shallow dict (arrays shared): the memoized
+        # bank is a process-wide cache whose disc_reach_* keys are
+        # EVICTABLE (cap above) — a live env must keep its reach table
+        # across re-traces regardless of how many radii later make() calls
+        # sweep, or the same env would silently switch to the f32 pairwise
+        # fallback (which legitimately disagrees at distance==radius ties)
+        params = CoverageParams(bank=dict(bank), **cfg)
         if params.comm_edges:
             # the comm slots shrink the motion-edge region beyond what
             # build_graph_spec validated (the reference instead asserts

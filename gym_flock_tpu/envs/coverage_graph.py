@@ -488,7 +488,7 @@ def _mm_cost_copy(specs):
     return {"graph_cost_mm": jnp.asarray(mm, dtype=jnp.bfloat16)}
 
 
-def hide_mm_operands(bank, n_robots: int):
+def hide_mm_operands(bank, n_robots: int, want=None):
     """bf16 one-hot operands for the hide-nodes discovery masks.
 
     Per-edge discovery lookups (``disc_all[senders]``) are batched gathers
@@ -523,23 +523,32 @@ def hide_mm_operands(bank, n_robots: int):
         W[g_ar[valid] * n_all + flat[valid], e_ar[valid]] = 1.0
         return jnp.asarray(W, dtype=jnp.bfloat16)
 
-    # node-space motion adjacency for the frontier: A[g*n_all + m, n] = 1
-    # iff graph g has a motion edge m -> n.  ``undisc_seg @ A`` counts a
-    # node's UNdiscovered in-neighbors (0/1 sums <= in-degree, f32-exact
-    # accumulate), so ``frontier[n] = disc[n] & (cnt[n] > 0)`` — the same
-    # boolean the edge-space route computes as
-    # ``((1-d_send)*d_recv) @ W_recv.T > 0``, at n_all/Em (~1/4) of the
-    # MXU FLOPs (measured -0.5 ms of the ExploreFull batched step).
-    A = np.zeros((G * n_all, n_all), dtype=np.float32)
-    for g in range(G):
-        valid = (ms[g] >= 0) & (mr[g] >= 0)
-        A[g * n_all + ms[g][valid], mr[g][valid]] = 1.0
-
-    return {
-        "hide_send_onehot": onehot_flat(ms),
-        "hide_recv_onehot": onehot_flat(mr),
-        "hide_adj": jnp.asarray(A, dtype=jnp.bfloat16),
+    # ``want`` limits construction to the missing keys — upgrading a
+    # cached bank that predates hide_adj must not rebuild the two
+    # (up to 512 MB) edge one-hots it already has
+    want = set(want) if want is not None else {
+        "hide_send_onehot", "hide_recv_onehot", "hide_adj"
     }
+    out = {}
+    if "hide_send_onehot" in want:
+        out["hide_send_onehot"] = onehot_flat(ms)
+    if "hide_recv_onehot" in want:
+        out["hide_recv_onehot"] = onehot_flat(mr)
+    if "hide_adj" in want:
+        # node-space motion adjacency for the frontier:
+        # A[g*n_all + m, n] = 1 iff graph g has a motion edge m -> n.
+        # ``undisc_seg @ A`` counts a node's UNdiscovered in-neighbors
+        # (0/1 sums <= in-degree, f32-exact accumulate), so
+        # ``frontier[n] = disc[n] & (cnt[n] > 0)`` — the same boolean the
+        # edge-space route computes as ``((1-d_send)*d_recv) @ W_recv.T
+        # > 0``, at n_all/Em (~1/4) of the MXU FLOPs (measured -0.5 ms of
+        # the ExploreFull batched step).
+        A = np.zeros((G * n_all, n_all), dtype=np.float32)
+        for g in range(G):
+            valid = (ms[g] >= 0) & (mr[g] >= 0)
+            A[g * n_all + ms[g][valid], mr[g][valid]] = 1.0
+        out["hide_adj"] = jnp.asarray(A, dtype=jnp.bfloat16)
+    return out
 
 
 def reach_key(discover_radius: float) -> str:

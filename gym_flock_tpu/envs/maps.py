@@ -118,14 +118,16 @@ def _warn_if_shadowing(hit: Path, name: str, lower_dirs: list) -> None:
         return
     import hashlib
 
+    # sha256, not md5: md5() raises on FIPS-enforced Python builds and
+    # this is a content-equality check, not a security boundary
     try:
-        hit_md5 = hashlib.md5(hit.read_bytes()).hexdigest()
+        hit_digest = hashlib.sha256(hit.read_bytes()).hexdigest()
     except OSError:  # pragma: no cover
         return
     for d in lower_dirs:
         q = d / name
         try:
-            if q.is_file() and hashlib.md5(q.read_bytes()).hexdigest() != hit_md5:
+            if q.is_file() and hashlib.sha256(q.read_bytes()).hexdigest() != hit_digest:
                 import warnings
 
                 _warned_shadow.add(name)

@@ -45,8 +45,8 @@ from jax.experimental import pallas as pl
 
 __all__ = ["packed_greedy_min", "pad_cost_rows", "CH_ROWS", "FOLD"]
 
-CH_ROWS = 64  # max robots per grid step (measured best of 16/32/64 at R=100;
-# _rowmin_pallas clamps to ~R so small-R worlds don't DMA padding rows)
+CH_ROWS = 64  # fallback chunk for R > 128 (at R <= 128 the auto route uses
+# whole-R chunks — no padding-row DMAs; see _rowmin_pallas)
 FOLD = 16  # sublanes per folded row (= bf16 tile sublane count)
 _MULT = 8192.0
 _BLOCKED = 1024.0  # == coverage_graph._mm_cost_copy's unreachable sentinel
@@ -158,16 +158,20 @@ def _packed_greedy_min_vmap(axis_size, in_batched, rowidx, blocked, cost_pad):
 
 
 def _rowmin_pallas(rowidx, blocked, cost_pad, interpret: bool = False,
-                   ch: int = CH_ROWS):
-    """Whole-batch kernel launch: grid (B, R/CH)."""
+                   ch: int | None = None):
+    """Whole-batch kernel launch: grid (B, R/CH).
+
+    ``ch=None`` (the production route) auto-sizes the chunk: whole-R
+    chunks avoid padding-row DMAs entirely (measured best at R=100:
+    ch=100 reads exactly B*R rows; ch=64 pads to 128 rows/env); very
+    large R falls back to CH_ROWS-sized chunks.  An explicit ``ch`` is
+    honored as-is (benchmark sweeps)."""
     B, R = rowidx.shape
     GT, F, L = cost_pad.shape
     Tp = F * L
     T = blocked.shape[-1]
-    # whole-R chunks avoid padding-row DMAs entirely (measured best at
-    # R=100: ch=100 reads exactly B*R rows; ch=64 pads to 128 rows/env);
-    # very large R falls back to CH_ROWS-sized chunks
-    ch = R if R <= 128 else ch
+    if ch is None:
+        ch = R if R <= 128 else CH_ROWS
     RP = ((R + ch - 1) // ch) * ch
     if RP != R:
         rowidx = jnp.pad(rowidx, ((0, 0), (0, RP - R)))

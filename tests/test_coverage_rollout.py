@@ -318,7 +318,11 @@ def test_explicit_bank_plus_real_map_raises():
         gft.make("CoverageARL-v0", bank=params.bank, real_map=True)
     # and real_map=None/False with a bank stays fine
     env2, params2 = gft.make("CoverageARL-v0", bank=params.bank)
-    assert params2.bank is params.bank
+    # the bank is REUSED, not rebuilt: every array leaf is the same object
+    # (params get their own shallow dict so shared-cache eviction can't
+    # touch live envs — identity holds per leaf, not per dict)
+    for k, v in params.bank.items():
+        assert params2.bank[k] is v, k
 
 
 def test_cost_pack_marker_validates_full_array():
@@ -584,12 +588,19 @@ def test_disc_reach_table_eviction_cap():
     from gym_flock_tpu.envs.coverage_graph import reach_key
 
     radii = [1.3, 1.4, 1.5, 1.6, 1.7, 1.8]
+    first_params = None
     for r in radii:
         env, params = gft.make("ExploreEnv-v0", n_graphs=2, discover_radius=r)
         assert reach_key(r) in params.bank
+        if first_params is None:
+            first_params = params
     keys = [k for k in params.bank if k.startswith("disc_reach_r")]
     assert len(keys) <= 4, keys
     assert reach_key(radii[-1]) in keys
+    # a LIVE env's params keep their own table across later evictions
+    # (params hold a shallow bank copy — shared-cache eviction must never
+    # silently reroute an existing env to the f32 pairwise fallback)
+    assert reach_key(radii[0]) in first_params.bank
 
 
 def test_shadowed_custom_map_warns(tmp_path, monkeypatch):

@@ -22,10 +22,25 @@ REPO = Path(__file__).resolve().parent.parent
 
 @pytest.fixture(scope="module")
 def wheel_path(tmp_path_factory):
+    # Build from a CLEAN copy of the source tree, not the checkout: an
+    # in-tree `pip wheel` drops build/ + *.egg-info into the repo, and a
+    # stale build/lib (setuptools only re-copies strictly-newer files,
+    # and a fresh clone has uniform mtimes) could get packaged instead of
+    # the current source.
+    src = tmp_path_factory.mktemp("src") / "repo"
+    import shutil
+
+    shutil.copytree(
+        REPO, src,
+        ignore=shutil.ignore_patterns(
+            "build", "*.egg-info", ".git", "__pycache__", ".pytest_cache",
+            ".hypothesis", ".claude", "tests", "benchmarks", "examples",
+        ),
+    )
     out = tmp_path_factory.mktemp("wheel")
     r = subprocess.run(
         [sys.executable, "-m", "pip", "wheel", "--no-deps", "--no-build-isolation",
-         "--no-index", "-w", str(out), str(REPO)],
+         "--no-index", "-w", str(out), str(src)],
         capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-4000:]
