@@ -62,7 +62,32 @@ def main():
     got = np.asarray(s)[:, :9]
     ref = np.asarray(want)[:, :9]
     err = float(np.max(np.abs(got - ref) / (1.0 + np.abs(ref))))
-    ok = err < 1e-4 and bool(np.isfinite(float(reward)))
+
+    # rowmin (the metric-3 critical path since r5): compiled Mosaic vs the
+    # identical-arithmetic XLA formulation must agree EXACTLY on-chip —
+    # the CI suite only exercises the interpreter
+    from gym_flock_tpu.ops.rowmin import (
+        _rowmin_pallas,
+        _rowmin_xla,
+        pad_cost_rows,
+    )
+
+    rng = np.random.RandomState(3)
+    G, T, B, R = 2, 300, 16, 33
+    mm = rng.randint(0, 20, size=(G, T, T)).astype(np.float32)
+    mm[rng.rand(G, T, T) < 0.1] = 1024.0
+    cost_pad = jnp.asarray(pad_cost_rows(mm), jnp.bfloat16)
+    rowidx = jnp.asarray(rng.randint(0, G * T, size=(B, R)), jnp.int32)
+    blocked = jnp.asarray(rng.rand(B, T) < 0.6)
+    m_tpu = np.asarray(jax.jit(_rowmin_pallas)(rowidx, blocked, cost_pad))
+    m_ref = np.asarray(
+        jax.jit(jax.vmap(_rowmin_xla, in_axes=(0, 0, None)))(
+            rowidx, blocked, cost_pad
+        )
+    )
+    rowmin_exact = bool(np.array_equal(m_tpu, m_ref))
+
+    ok = err < 1e-4 and bool(np.isfinite(float(reward))) and rowmin_exact
     print(
         json.dumps(
             {
@@ -73,7 +98,7 @@ def main():
             }
         )
     )
-    assert ok, f"max rel err {err}"
+    assert ok, f"max rel err {err}, rowmin_exact={rowmin_exact}"
 
 
 if __name__ == "__main__":
