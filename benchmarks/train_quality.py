@@ -88,7 +88,7 @@ def random_reward(env, params, key, n_envs=64, n_steps=50):
     return float(run(key))
 
 
-def run_bc_greedy(out, n_iters=800, latent=64, rounds=4, lr=1e-3):
+def run_bc_greedy(out, n_iters=800, latent=64, rounds=6, lr=1e-3):
     from gym_flock_tpu.models.gnn import EdgeGraphNet
     from gym_flock_tpu.parallel.train_coverage import CoverageImitationTrainer
 
@@ -244,19 +244,20 @@ def run_bc_vrp(out, n_envs=32, n_steps=32, workers=2):
     merge_out(out, "bc_vrp", entry)
 
 
-def run_dagger(out):
+def run_dagger(out, n_iters=28, latent=64, rounds=6, n_grad_steps=32):
     from gym_flock_tpu.parallel.train_coverage import CoverageDaggerTrainer
 
     from gym_flock_tpu.models.gnn import EdgeGraphNet
 
     env, params, eval_params = coverage_world()
     trainer = CoverageDaggerTrainer(
-        env, params, model=EdgeGraphNet(latent=64, rounds=4), capacity=4096
+        env, params, model=EdgeGraphNet(latent=latent, rounds=rounds),
+        capacity=4096,
     )
     t0 = time.time()
     state, losses = trainer.fit(
-        jax.random.key(0), n_iters=20, n_envs=8, n_steps=16,
-        n_grad_steps=24, batch_size=128,
+        jax.random.key(0), n_iters=n_iters, n_envs=8, n_steps=16,
+        n_grad_steps=n_grad_steps, batch_size=128,
     )
     dur = time.time() - t0
     pm = state["params"]
@@ -268,8 +269,8 @@ def run_dagger(out):
     entry = {
         "pipeline": "coverage DAGGER (mixture rollouts, rolling buffer)",
         "world": "CoverageARL-v0, 8 real-facility sub-windows, R=4",
-        "model": {"latent": 64, "rounds": 4},
-        "train": {"n_iters": 20, "beta_decay": trainer.beta_decay,
+        "model": {"latent": latent, "rounds": rounds},
+        "train": {"n_iters": n_iters, "beta_decay": trainer.beta_decay,
                   "loss_first": round(losses[0], 4),
                   "loss_last": round(losses[-1], 4),
                   "seconds": round(dur, 1)},
