@@ -284,3 +284,44 @@ def test_relative_bit_exact_parity_mode(centralized):
         np.testing.assert_array_equal(np.asarray(obs), ref_obs, err_msg=f"obs@{t}")
         np.testing.assert_array_equal(np.asarray(net), ref_net, err_msg=f"net@{t}")
         assert float(rew) == ref_rew, f"rew@{t}: {float(rew)} vs {ref_rew}"
+
+
+@pytest.mark.parametrize("env_id", ["FlockingLeader-v0", "FlockingObstacle-v0"])
+def test_variant_bit_exact_parity_mode(env_id):
+    """The exact mode covers the flocking VARIANTS too: masked integration
+    (leader — the reference multiplies the mask LAST, ours first; exact
+    either way since the mask is 0/1) and velocity-diff zeroing
+    (obstacle) are bit-transparent, so closed loops driven by the shared
+    Turner expert EQUAL the reference over 30 steps."""
+    rng = np.random.RandomState(9)
+    n = 40
+    x0 = _random_x0(rng, n, spread=1.5)
+
+    ref = make_reference_env(env_id)
+    ref.n_agents = n
+    if env_id == "FlockingLeader-v0":
+        ref.mask = np.ones((n,))
+        ref.mask[: ref.n_leaders] = 0
+    else:
+        # obstacle env: agents 0..3 are static obstacles
+        ref.mask = np.ones((n,))
+        ref.mask[: ref.n_obstacles] = 0
+    _inject(ref, x0)
+
+    env, params = gft.make(env_id)
+    params = params.replace(n_agents=n, parity_exact=True)
+    state = env.init_state(jnp.asarray(x0), params)
+    step = jax.jit(env.step_env)
+    ctrl = jax.jit(env.controller)
+    key = jax.random.key(0)
+
+    for t in range(30):
+        u_ref = ref.controller()
+        u = ctrl(state, params)
+        np.testing.assert_array_equal(np.asarray(u), u_ref, err_msg=f"u@{t}")
+        (ref_obs, ref_net), ref_rew, _, _ = ref.step(np.asarray(u).copy())
+        state, (obs, net), rew, done, _ = step(key, state, jnp.asarray(u), params)
+        np.testing.assert_array_equal(np.asarray(state.x), ref.x, err_msg=f"x@{t}")
+        np.testing.assert_array_equal(np.asarray(obs), ref_obs, err_msg=f"obs@{t}")
+        np.testing.assert_array_equal(np.asarray(net), ref_net, err_msg=f"net@{t}")
+        assert float(rew) == ref_rew, f"rew@{t}"
