@@ -362,6 +362,74 @@ def run_flocking(out, n_iters=2500, k_hops=4, hidden=(128, 128), lr=1e-3):
     merge_out(out, "flocking", entry)
 
 
+def run_flocking_dagger(out, n_iters=40, k_hops=4, hidden=(128, 128)):
+    """Flocking DAGGER (parallel.dagger.DaggerTrainer) with the same
+    AggregationGNN architecture as run_flocking — completes the
+    BC-vs-DAGGER matrix across both trainable families."""
+    from gym_flock_tpu.models.gnn import AggregationGNN
+    from gym_flock_tpu.parallel.dagger import DaggerTrainer
+
+    env, params = gft.make("FlockingRelative-v0", n_agents=100)
+    model = AggregationGNN(k_hops=k_hops, hidden=hidden)
+    trainer = DaggerTrainer(env, params, model=model, capacity=8192)
+    t0 = time.time()
+    state, losses = trainer.fit(
+        jax.random.key(0), n_iters=n_iters, n_envs=8, n_steps=16,
+        n_grad_steps=24,
+    )
+    dur = time.time() - t0
+    pm = state.params
+
+    n_steps, n_envs = 200, 64
+
+    @partial(jax.jit, static_argnames=("mode",))
+    def episode_reward(key, mode: str):
+        def one(key):
+            k_reset, k_scan = jax.random.split(key)
+            s, obs = env.reset_env(k_reset, params)
+
+            def body(carry, key_t):
+                s, obs = carry
+                feats, adjm = obs
+                if mode == "policy":
+                    u = trainer.model.apply(pm, feats, adjm)
+                elif mode == "expert":
+                    u = env.expert(s, params)
+                else:
+                    u = jax.random.uniform(
+                        key_t, (params.n_agents, 2), minval=-1.0, maxval=1.0
+                    )
+                s, obs, r, _, _ = env.step_env(key_t, s, u, params)
+                return (s, obs), r
+
+            _, rs = jax.lax.scan(
+                body, (s, obs), jax.random.split(k_scan, n_steps)
+            )
+            return jnp.sum(rs)
+
+        return jnp.mean(jax.vmap(one)(jax.random.split(key, n_envs)))
+
+    k_eval = jax.random.key(99)
+    pol = float(episode_reward(k_eval, "policy"))
+    exp = float(episode_reward(k_eval, "expert"))
+    rnd = float(episode_reward(k_eval, "random"))
+    entry = {
+        "pipeline": "flocking DAGGER (AggregationGNN, Turner expert)",
+        "world": "FlockingRelative-v0, N=100",
+        "model": {"k_hops": k_hops, "hidden": list(hidden)},
+        "train": {"n_iters": n_iters, "beta_decay": trainer.beta_decay,
+                  "loss_first": round(losses[0], 5),
+                  "loss_last": round(losses[-1], 5),
+                  "seconds": round(dur, 1)},
+        "episode_reward_200_steps": {
+            "policy": round(pol, 1), "expert": round(exp, 1),
+            "random": round(rnd, 1),
+            "policy_vs_expert_cost": round(pol / exp, 4) if exp else None,
+        },
+    }
+    merge_out(out, "flocking_dagger", entry)
+
+
 def run_probe_vrp_speed(out):
     """Quick probe: seconds per VRP solve on the ARL bank."""
     from gym_flock_tpu.parallel.vrp_labels import vrp_label_states
@@ -379,11 +447,13 @@ def run_probe_vrp_speed(out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("pipeline", choices=[
-        "bc_greedy", "bc_vrp", "dagger", "flocking", "probe_vrp_speed"])
+        "bc_greedy", "bc_vrp", "dagger", "flocking", "flocking_dagger",
+        "probe_vrp_speed"])
     ap.add_argument("--out", default=OUT_DEFAULT)
     args = ap.parse_args()
     {"bc_greedy": run_bc_greedy, "bc_vrp": run_bc_vrp,
      "dagger": run_dagger, "flocking": run_flocking,
+     "flocking_dagger": run_flocking_dagger,
      "probe_vrp_speed": run_probe_vrp_speed}[args.pipeline](args.out)
 
 
