@@ -325,3 +325,36 @@ def test_variant_bit_exact_parity_mode(env_id):
         np.testing.assert_array_equal(np.asarray(obs), ref_obs, err_msg=f"obs@{t}")
         np.testing.assert_array_equal(np.asarray(net), ref_net, err_msg=f"net@{t}")
         assert float(rew) == ref_rew, f"rew@{t}"
+
+
+def test_absolute_bit_exact_parity_mode():
+    """Flocking-v0 (absolute 7-NN obs) is bit-exact under parity_exact
+    too: the k-NN selection and diff gathers are value-transparent (the
+    reference's argsort ties don't occur on generic float states), so
+    the expert-driven closed loop equals the reference over 30 steps."""
+    rng = np.random.RandomState(3)
+    n = 40
+    x0 = _random_x0(rng, n, spread=1.5)
+
+    ref = make_reference_env("Flocking-v0")
+    ref.n_agents = n
+    _inject(ref, x0)
+
+    env, params = gft.make("Flocking-v0")
+    params = params.replace(n_agents=n, parity_exact=True)
+    state = env.init_state(jnp.asarray(x0), params)
+    step = jax.jit(env.step_env)
+    ctrl = jax.jit(env.controller)
+    key = jax.random.key(0)
+
+    for t in range(30):
+        u_ref = ref.controller()
+        u = ctrl(state, params)
+        np.testing.assert_array_equal(np.asarray(u), u_ref, err_msg=f"u@{t}")
+        ref_obs, ref_rew, _, _ = ref.step(np.asarray(u).copy())
+        state, obs, rew, done, _ = step(key, state, jnp.asarray(u), params)
+        np.testing.assert_array_equal(np.asarray(state.x), ref.x, err_msg=f"x@{t}")
+        ro = ref_obs[0] if isinstance(ref_obs, tuple) else ref_obs
+        oo = obs[0] if isinstance(obs, tuple) else obs
+        np.testing.assert_array_equal(np.asarray(oo), np.asarray(ro), err_msg=f"obs@{t}")
+        assert float(rew) == ref_rew, f"rew@{t}"
