@@ -281,6 +281,40 @@ def run_dagger(out, n_iters=28, latent=64, rounds=6, n_grad_steps=32):
     merge_out(out, "dagger", entry)
 
 
+def _flocking_episode_reward_fn(env, params, model, pm, n_steps=200, n_envs=64):
+    """Shared closed-loop eval for the flocking BC and DAGGER pipelines —
+    ONE definition so their numbers stay comparable."""
+
+    @partial(jax.jit, static_argnames=("mode",))
+    def episode_reward(key, mode: str):
+        def one(key):
+            k_reset, k_scan = jax.random.split(key)
+            state, obs = env.reset_env(k_reset, params)
+
+            def body(carry, key_t):
+                state, obs = carry
+                feats, adjm = obs
+                if mode == "policy":
+                    u = model.apply(pm, feats, adjm)
+                elif mode == "expert":
+                    u = env.expert(state, params)
+                else:
+                    u = jax.random.uniform(
+                        key_t, (params.n_agents, 2), minval=-1.0, maxval=1.0
+                    )
+                state, obs, r, _, _ = env.step_env(key_t, state, u, params)
+                return (state, obs), r
+
+            _, rs = jax.lax.scan(
+                body, (state, obs), jax.random.split(k_scan, n_steps)
+            )
+            return jnp.sum(rs)
+
+        return jnp.mean(jax.vmap(one)(jax.random.split(key, n_envs)))
+
+    return episode_reward
+
+
 def run_flocking(out, n_iters=2500, k_hops=4, hidden=(128, 128), lr=1e-3):
     from gym_flock_tpu.models.gnn import AggregationGNN
     from gym_flock_tpu.parallel.train import (
@@ -310,34 +344,7 @@ def run_flocking(out, n_iters=2500, k_hops=4, hidden=(128, 128), lr=1e-3):
     mse = float(trainer.loss_fn(pm, feats, adj, acts))
     base_mse = float(jnp.mean(acts ** 2))  # predict-zero baseline
 
-    n_steps, n_envs = 200, 64
-
-    @partial(jax.jit, static_argnames=("mode",))
-    def episode_reward(key, mode: str):
-        def one(key):
-            k_reset, k_scan = jax.random.split(key)
-            state, obs = env.reset_env(k_reset, params)
-
-            def body(carry, key_t):
-                state, obs = carry
-                feats, adjm = obs
-                if mode == "policy":
-                    u = trainer.model.apply(pm, feats, adjm)
-                elif mode == "expert":
-                    u = env.expert(state, params)
-                else:
-                    u = jax.random.uniform(
-                        key_t, (params.n_agents, 2), minval=-1.0, maxval=1.0
-                    )
-                state, obs, r, _, _ = env.step_env(key_t, state, u, params)
-                return (state, obs), r
-
-            _, rs = jax.lax.scan(
-                body, (state, obs), jax.random.split(k_scan, n_steps)
-            )
-            return jnp.sum(rs)
-
-        return jnp.mean(jax.vmap(one)(jax.random.split(key, n_envs)))
+    episode_reward = _flocking_episode_reward_fn(env, params, trainer.model, pm)
 
     k_eval = jax.random.key(99)
     pol = float(episode_reward(k_eval, "policy"))
@@ -380,34 +387,7 @@ def run_flocking_dagger(out, n_iters=40, k_hops=4, hidden=(128, 128)):
     dur = time.time() - t0
     pm = state.params
 
-    n_steps, n_envs = 200, 64
-
-    @partial(jax.jit, static_argnames=("mode",))
-    def episode_reward(key, mode: str):
-        def one(key):
-            k_reset, k_scan = jax.random.split(key)
-            s, obs = env.reset_env(k_reset, params)
-
-            def body(carry, key_t):
-                s, obs = carry
-                feats, adjm = obs
-                if mode == "policy":
-                    u = trainer.model.apply(pm, feats, adjm)
-                elif mode == "expert":
-                    u = env.expert(s, params)
-                else:
-                    u = jax.random.uniform(
-                        key_t, (params.n_agents, 2), minval=-1.0, maxval=1.0
-                    )
-                s, obs, r, _, _ = env.step_env(key_t, s, u, params)
-                return (s, obs), r
-
-            _, rs = jax.lax.scan(
-                body, (s, obs), jax.random.split(k_scan, n_steps)
-            )
-            return jnp.sum(rs)
-
-        return jnp.mean(jax.vmap(one)(jax.random.split(key, n_envs)))
+    episode_reward = _flocking_episode_reward_fn(env, params, trainer.model, pm)
 
     k_eval = jax.random.key(99)
     pol = float(episode_reward(k_eval, "policy"))

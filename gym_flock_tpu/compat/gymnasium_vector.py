@@ -60,8 +60,10 @@ def batch_space(space, n: int):
     if isinstance(space, Discrete):
         return MultiDiscrete((space.n,) * n)
     if isinstance(space, MultiDiscrete):
-        # [n, len(nvec)] grid of the same per-dim cardinalities
-        return Box(0, max(space.nvec) - 1, (n, len(space.nvec)), jnp.int32)
+        # keep MultiDiscrete semantics (integer sampling, exact per-dim
+        # containment): the batch flattens to [n * len(nvec)] with the
+        # per-dim cardinalities tiled — reshape samples to [n, len(nvec)]
+        return MultiDiscrete(tuple(space.nvec) * n)
     if isinstance(space, DictSpace):
         return DictSpace({k: batch_space(v, n) for k, v in space.spaces.items()})
     raise TypeError(f"cannot batch space {space!r}")
@@ -83,6 +85,9 @@ class GymnasiumVectorEnv:
         spec = _registry.get(env_id)
         if max_episode_steps is None and spec is not None:
             max_episode_steps = spec.max_episode_steps
+        if max_episode_steps == 0:
+            # same convention as make_gymnasium: 0 disables the limit
+            max_episode_steps = None
         self.max_episode_steps = max_episode_steps
         self._done_kind = _done_semantics(env_id)
         self._state = None
@@ -164,9 +169,15 @@ class GymnasiumVectorEnv:
     def reset(
         self, *, seed: Optional[int] = None, options: Optional[Dict] = None
     ) -> Tuple[Any, Dict]:
-        if seed is None:
-            seed = int(np.random.SeedSequence().entropy) & 0x7FFFFFFF
-        self._key = jax.random.key(seed)
+        if seed is not None:
+            self._key = jax.random.key(seed)
+        elif self._key is None:
+            # never seeded: fresh OS entropy (gymnasium's unseeded default)
+            # — but an unseeded reset AFTER a seeded one must CONTINUE the
+            # stream, or two identically-seeded runs diverge there
+            self._key = jax.random.key(
+                int(np.random.SeedSequence().entropy) & 0x7FFFFFFF
+            )
         self._key, sub = jax.random.split(self._key)
         self._state, obs = self._vreset(sub)
         self._elapsed = jnp.zeros((self.num_envs,), jnp.int32)
@@ -193,10 +204,14 @@ class GymnasiumVectorEnv:
         if mask.any():
             fo = jax.tree.map(np.asarray, final_obs)
             arr = np.full((self.num_envs,), None, dtype=object)
+            fi = np.full((self.num_envs,), None, dtype=object)
             for i in np.nonzero(mask)[0]:
                 arr[i] = jax.tree.map(lambda x: x[i], fo)
+                fi[i] = {}  # these envs emit no per-step info payload
             infos["final_observation"] = arr
             infos["_final_observation"] = mask
+            infos["final_info"] = fi
+            infos["_final_info"] = mask
         return (
             jax.tree.map(np.asarray, obs),
             np.asarray(reward),

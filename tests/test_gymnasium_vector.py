@@ -74,6 +74,31 @@ def test_coverage_vector_autoreset_and_terminal_split():
     assert saw_finish, "3-step episodes must finish within 8 steps"
 
 
+def test_vector_seeded_stream_survives_unseeded_reset():
+    """A plain reset() after a seeded one CONTINUES the key stream (the
+    gymnasium convention) — two identically-seeded runs stay identical
+    through later unseeded resets."""
+    a = make_gymnasium_vector("FlockingRelative-v0", num_envs=3, n_agents=8)
+    b = make_gymnasium_vector("FlockingRelative-v0", num_envs=3, n_agents=8)
+    a.reset(seed=11); b.reset(seed=11)
+    oa, _ = a.reset()
+    ob, _ = b.reset()
+    np.testing.assert_array_equal(oa[0], ob[0])
+
+
+def test_vector_zero_limit_disables_truncation():
+    """max_episode_steps=0 disables the external limit (the make_gymnasium
+    convention) instead of truncating every step."""
+    venv = make_gymnasium_vector(
+        "FlockingRelative-v0", num_envs=2, n_agents=8, max_episode_steps=0
+    )
+    venv.reset(seed=0)
+    u = np.zeros((2, 8, 2), np.float32)
+    for _ in range(3):
+        _, _, term, trunc, _ = venv.step(u)
+        assert not term.any() and not trunc.any()
+
+
 def test_vector_registration_limit_truncates():
     # FlockingLeader-v0 registers max_episode_steps=200; with an override
     # of 2 the external counter must truncate (never terminate)
@@ -87,6 +112,7 @@ def test_vector_registration_limit_truncates():
     _, _, term, trunc, infos = venv.step(u)
     assert not term.any() and trunc.all()
     assert infos["_final_observation"].all()
+    assert infos["_final_info"].all() and infos["final_info"][0] == {}
     # autoreset happened: the NEXT step starts a fresh episode
     _, _, term, trunc, _ = venv.step(u)
     assert not trunc.any()
@@ -99,7 +125,12 @@ def test_batch_space_shapes():
     assert isinstance(bobs, DictSpace)
     assert bobs.spaces["nodes"].shape[0] == 5
     bact = batch_space(env.action_space(params), 5)
-    assert isinstance(bact, Box) and bact.shape == (5, params.n_robots)
+    # MultiDiscrete batches flat with tiled per-dim cardinalities (exact
+    # integer sampling + containment; reshape samples to [n, dims])
+    assert isinstance(bact, MultiDiscrete)
+    assert len(bact.nvec) == 5 * params.n_robots
+    s = bact.sample(jax.random.key(0))  # integer sampling must work
+    assert s.shape == (5 * params.n_robots,)
 
     venv = GymnasiumVectorEnv("FlockingRelative-v0", 4, n_agents=8)
     assert venv.single_action_space.shape == (8, 2)
